@@ -1,0 +1,111 @@
+"""Framed log-mel front end as matmuls (MXU-friendly).
+
+The reference's closed inference library computes its framed feature front
+end on CPU with PocketFFT (`/root/reference/LICENSES_BUNDLED.txt:13-27`).
+On TPU, small fixed-size FFTs are fastest as *matmuls* against precomputed
+real-DFT bases: a [B, win] x [win, bins] contraction maps straight onto the
+128x128 systolic array and fuses with the mel projection, so the whole
+front end (window -> power spectrum -> mel -> log) is two matmuls and a few
+VPU elementwise ops per frame batch.
+
+The model consumes 160 new samples per 10 ms frame and keeps `win - 160`
+samples of raw history in its streaming state (the scan carry), mirroring
+the persistent frame context of the reference pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def hann_window(win: int) -> np.ndarray:
+    """Periodic Hann window."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win) / win)
+
+
+@functools.lru_cache(maxsize=None)
+def real_dft_matrices(win: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cos/sin bases for an rFFT of length `win`: two [win, win//2+1] mats."""
+    n = np.arange(win)[:, None]
+    k = np.arange(win // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / win
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float) -> np.ndarray:
+    """Triangular mel filterbank, Slaney-style area-normalized: [bins, n_mels]."""
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_bins)
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    fb = np.zeros((n_bins, n_mels), dtype=np.float32)
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-9)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+        # area normalization keeps per-band energy comparable
+        fb[:, m] *= 2.0 / max(hi - lo, 1e-9)
+    return fb
+
+
+@dataclasses.dataclass(frozen=True)
+class MelFrontend:
+    """Log-mel front end over a sliding window with hop = 160 samples."""
+
+    sample_rate: int = 16_000
+    win: int = 512
+    hop: int = 160
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: float | None = None
+    log_floor: float = 1e-5
+
+    @property
+    def history(self) -> int:
+        return self.win - self.hop
+
+    @functools.cached_property
+    def _consts(self):
+        fmax = self.fmax if self.fmax is not None else self.sample_rate / 2.0
+        w = hann_window(self.win).astype(np.float32)
+        cos_m, sin_m = real_dft_matrices(self.win)
+        mel = mel_filterbank(self.sample_rate, self.win, self.n_mels, self.fmin, fmax)
+        # Fold the window into the DFT bases so windowing is free.
+        return (
+            jnp.asarray(cos_m * w[:, None]),
+            jnp.asarray(sin_m * w[:, None]),
+            jnp.asarray(mel),
+        )
+
+    def __call__(self, frames):
+        """[..., win] windowed raw audio -> [..., n_mels] log-mel."""
+        cos_m, sin_m, mel = self._consts
+        x = frames.astype(cos_m.dtype)
+        re = x @ cos_m
+        im = x @ sin_m
+        power = re * re + im * im
+        return jnp.log(jnp.maximum(power @ mel, self.log_floor))
+
+    def frames_from_chunk(self, history, chunk):
+        """Slice a [..., T*hop] chunk plus [..., history] left-context into
+        per-frame windows [..., T, win]; returns (windows, new_history)."""
+        t = chunk.shape[-1] // self.hop
+        full = jnp.concatenate([history, chunk], axis=-1)
+        idx = (
+            jnp.arange(t)[:, None] * self.hop + jnp.arange(self.win)[None, :]
+        )  # [T, win]
+        windows = full[..., idx]
+        new_history = full[..., t * self.hop:]
+        return windows, new_history

@@ -1,0 +1,62 @@
+"""Click-free gain ramp as a closed-form, batched JAX op.
+
+The reference walks the gain sample-by-sample at 2 dB/ms toward a target
+(`/root/reference/src/common/gain.h:41-71`).  That sequential dB walk has a
+closed form: the per-sample gain is a clamped linear ramp in dB space, so a
+whole block can be computed at once for a batch of streams -- no scan needed.
+
+State per stream: current gain in dB (scalar).  The op is exactly equivalent
+to the reference loop (the reference increments the dB value once per sample
+and clamps at the target).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+DB_PER_MS = 2.0
+
+
+def db_to_amp(db):
+    return 10.0 ** (db * 0.05)
+
+
+def amp_to_db(amp):
+    return 20.0 * jnp.log10(amp)
+
+
+def gain_process(x, current_db, target_db, sample_rate: float):
+    """Apply a smoothed gain ramp to a block of audio.
+
+    Args:
+      x: [..., n_samples] input audio (any leading batch dims).
+      current_db: [...] current gain state in dB.
+      target_db: [...] target gain in dB.
+      sample_rate: static sample rate in Hz.
+
+    Returns:
+      (y, new_current_db) with y shaped like x.
+
+    Equivalent to Gain::Process (gain.h:41-71): gain moves DB_PER_MS dB per
+    millisecond from current toward target, clamped at the target, applied
+    per sample.
+    """
+    n = x.shape[-1]
+    db_per_sample = DB_PER_MS / (sample_rate * 0.001)
+    # dB value *after* the t-th step, t = 1..n (reference updates gain before
+    # applying it to each sample).
+    t = jnp.arange(1, n + 1, dtype=x.dtype)
+    cur = current_db[..., None]
+    tgt = target_db[..., None]
+    direction = jnp.sign(tgt - cur)
+    ramp = cur + direction * db_per_sample * t
+    # Clamp at the target from the approach side.
+    db_t = jnp.where(direction >= 0, jnp.minimum(ramp, tgt), jnp.maximum(ramp, tgt))
+    y = x * db_to_amp(db_t)
+    new_db = db_t[..., -1]
+    return y, new_db
+
+
+def gain_init_state(batch_shape=(), target_db=0.0, dtype=jnp.float32):
+    """Initial gain state: current == target (gain.h:23-27)."""
+    return jnp.full(batch_shape, target_db, dtype=dtype)
