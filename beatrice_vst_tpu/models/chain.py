@@ -1,0 +1,151 @@
+"""VoiceConverter: the full per-frame stage chain (ExtractPhone ->
+EstimatePitch -> pitch transform -> GenerateWaveform), batched.
+
+This is the TPU equivalent of the reference's `Process1` hot loop
+(`/root/reference/src/common/processor_core_0.cc:50-143`,
+`processor_core_2.cc:50-256`): one call consumes T frames of 160 samples
+at 16 kHz per stream and emits T*240 samples at 24 kHz, with all three
+sub-model streaming states carried explicitly.  Where the reference makes
+three separate calls into the closed binary per frame, here the whole
+chain is one fused XLA computation over the [streams] batch axis.
+
+Per-stream conditioning arrives as a `cond` dict built by the runtime from
+the parameter system + speaker bank (the analogue of the Set* calls and
+the EmbeddingSetter, beatrice.h:308-343):
+
+  speaker_embedding [B, 256]   additive speaker (+ formant shift) embedding
+  kv                [B, 384, 128]  20rc0 KV speaker embedding (optional)
+  codebook          [B, 512, 128]  20rc0 VQ codebook (optional)
+  vq_num_neighbors  [B] int        0 = disable (beatrice.h:239-242)
+  min_q / max_q     [B] int        pitch bin clamps
+  average_source_pitch, intonation_intensity, pitch_shift,
+  pitch_correction  [B] float; pitch_correction_type [B] int
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import VersionSpec, V20RC0
+from ..ops.pitch_math import transform_pitch
+from . import phone_extractor, pitch_estimator, waveform_generator
+
+
+@dataclasses.dataclass(frozen=True)
+class VoiceConverterConfig:
+    spec: VersionSpec
+    phone: phone_extractor.PhoneExtractorConfig = None
+    pitch: pitch_estimator.PitchEstimatorConfig = None
+    wg: waveform_generator.WaveformGeneratorConfig = None
+
+    def __post_init__(self):
+        if self.phone is None:
+            object.__setattr__(self, "phone", phone_extractor.PhoneExtractorConfig.for_version(self.spec))
+        if self.pitch is None:
+            object.__setattr__(self, "pitch", pitch_estimator.PitchEstimatorConfig.for_version(self.spec))
+        if self.wg is None:
+            object.__setattr__(self, "wg", waveform_generator.WaveformGeneratorConfig.for_version(self.spec))
+
+    @classmethod
+    def for_version(cls, spec: VersionSpec = V20RC0) -> "VoiceConverterConfig":
+        return cls(spec=spec)
+
+
+def init(key, cfg: VoiceConverterConfig, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "phone": phone_extractor.init(k1, cfg.phone, dtype),
+        "pitch": pitch_estimator.init(k2, cfg.pitch, dtype),
+        "wg": waveform_generator.init(k3, cfg.wg, dtype),
+    }
+
+
+def init_state(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
+    return {
+        "phone": phone_extractor.init_state(cfg.phone, batch_shape, dtype),
+        "pitch": pitch_estimator.init_state(cfg.pitch, batch_shape, dtype),
+        "wg": waveform_generator.init_state(cfg.wg, batch_shape, dtype),
+    }
+
+
+def default_cond(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
+    """Neutral conditioning: speaker 0 semantics are the runtime's job;
+    here everything is zeros / identity transforms."""
+    b = batch_shape
+    spec = cfg.spec
+    cond = {
+        "speaker_embedding": jnp.zeros((*b, cfg.wg.hidden), dtype),
+        "vq_num_neighbors": jnp.zeros(b, jnp.int32),
+        "min_q": jnp.ones(b, jnp.int32),
+        "max_q": jnp.full(b, spec.pitch_bins - 1, jnp.int32),
+        "average_source_pitch": jnp.full(b, 52.0, dtype),
+        "intonation_intensity": jnp.ones(b, dtype),
+        "pitch_shift": jnp.zeros(b, dtype),
+        "pitch_correction": jnp.zeros(b, dtype),
+        "pitch_correction_type": jnp.zeros(b, jnp.int32),
+    }
+    if spec.has_vq:
+        cond["codebook"] = jnp.zeros((*b, spec.codebook_size, spec.phone_channels), dtype)
+    if spec.has_kv:
+        cond["kv"] = jnp.zeros((*b, spec.kv_length, spec.kv_channels), dtype)
+    return cond
+
+
+def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
+          compute_dtype=None):
+    """audio16: [B, T*160] @16 kHz -> (audio24 [B, T*240] @24 kHz, state)."""
+    spec = cfg.spec
+
+    phone, phone_state = phone_extractor.apply(
+        params["phone"], cfg.phone, audio16, state["phone"], compute_dtype
+    )
+    if spec.has_vq:
+        phone = phone_extractor.vq_knn_smooth(
+            phone, cond["codebook"], cond["vq_num_neighbors"]
+        )
+
+    qp_raw, pitch_feats, pitch_state = pitch_estimator.apply(
+        params["pitch"], cfg.pitch, audio16, state["pitch"],
+        cond["min_q"], cond["max_q"], compute_dtype,
+    )
+
+    # Pitch shift / intonation / correction (processor_core_0.cc:58-120),
+    # broadcast over the frame axis.
+    qp = transform_pitch(
+        qp_raw,
+        average_source_pitch=cond["average_source_pitch"][:, None],
+        intonation_intensity=cond["intonation_intensity"][:, None],
+        pitch_shift=cond["pitch_shift"][:, None],
+        pitch_correction=cond["pitch_correction"][:, None],
+        pitch_correction_type=cond["pitch_correction_type"][:, None],
+        pitch_bins=spec.pitch_bins,
+    )
+
+    audio24, wg_state = waveform_generator.apply(
+        params["wg"], cfg.wg, phone, qp, pitch_feats,
+        cond["speaker_embedding"], state["wg"],
+        kv_embedding=cond.get("kv"), compute_dtype=compute_dtype,
+    )
+    new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
+    return audio24, new_state
+
+
+def scan_frames(params, cfg: VoiceConverterConfig, audio16, state, cond,
+                compute_dtype=None):
+    """Frame-by-frame `lax.scan` over a [B, T*160] chunk -- the streaming
+    execution used to validate step==chunk equivalence and by latency
+    benchmarks (one scan step == one 10 ms tick)."""
+    b = audio16.shape[0]
+    t = audio16.shape[1] // 160
+    frames = audio16.reshape(b, t, 160).transpose(1, 0, 2)  # [T, B, 160]
+
+    def step(carry, frame):
+        out, new_carry = apply(params, cfg, frame, carry, cond, compute_dtype)
+        return new_carry, out
+
+    final_state, outs = jax.lax.scan(step, state, frames)
+    audio24 = outs.transpose(1, 0, 2).reshape(b, t * 240)
+    return audio24, final_state

@@ -1,0 +1,203 @@
+"""Streaming neural-net layer primitives with explicit scan-carry state.
+
+The reference's closed inference library keeps per-stream streaming context
+objects (conv/attention history) behind `Beatrice*_Create*Context1`
+(`/root/reference/lib/beatricelib/beatrice.h:56-120`).  Here every layer
+exposes the state *explicitly* as a pytree of `[B, ...]` tensors so a batch
+of thousands of streams is one fused XLA computation and the whole chain
+can run under `lax.scan`.
+
+Conventions:
+  - params: nested dicts of jnp arrays; `init_*` builds them from a PRNG key.
+  - time-major chunk API: x is [B, T, C]; `step` is the T=1 special case of
+    the same code path, which makes step==chunk equivalence structural.
+  - causal convs are evaluated as k shifted slices -> one reshaped matmul
+    ([B*T, k*Cin] x [k*Cin, Cout]) so the MXU does the work; no gather, no
+    dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _uniform(key, shape, scale, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+
+# ---------------------------------------------------------------- linear --
+
+
+def linear_init(key, in_dim, out_dim, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    scale = 1.0 / math.sqrt(in_dim)
+    return {
+        "w": _uniform(kw, (in_dim, out_dim), scale, dtype),
+        "b": jnp.zeros((out_dim,), dtype),
+    }
+
+
+def linear(params, x, compute_dtype=None):
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + b.astype(y.dtype)
+
+
+# ------------------------------------------------------------ layer norm --
+
+
+def layer_norm_init(dim, dtype=jnp.float32):
+    return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params, x, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["g"] + params["b"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------- causal conv --
+
+
+def causal_conv_init(key, k, in_dim, out_dim, dilation=1, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    scale = 1.0 / math.sqrt(k * in_dim)
+    return {
+        "w": _uniform(kw, (k, in_dim, out_dim), scale, dtype),
+        "b": jnp.zeros((out_dim,), dtype),
+        # static metadata rides along as python ints via closure use;
+        # dilation is encoded in the state length so apply() can infer it.
+    }
+
+
+def causal_conv_state(batch_shape, k, in_dim, dilation=1, dtype=jnp.float32):
+    return jnp.zeros((*batch_shape, (k - 1) * dilation, in_dim), dtype)
+
+
+def causal_conv(params, x, state, dilation=1, compute_dtype=None):
+    """Causal dilated conv over time.
+
+    x: [B, T, Cin]; state: [B, (k-1)*dilation, Cin] (past inputs).
+    Returns (y [B, T, Cout], new_state).
+
+    Tap j reads input at time t - (k-1-j)*dilation; j == k-1 is "now".
+    """
+    w, b = params["w"], params["b"]
+    k = w.shape[0]
+    t = x.shape[-2]
+    full = jnp.concatenate([state.astype(x.dtype), x], axis=-2)
+    taps = [full[..., j * dilation: j * dilation + t, :] for j in range(k)]
+    xt = jnp.concatenate(taps, axis=-1)  # [B, T, k*Cin]
+    wt = w.reshape(k * w.shape[1], w.shape[2])
+    if compute_dtype is not None:
+        xt = xt.astype(compute_dtype)
+        wt = wt.astype(compute_dtype)
+    y = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
+    y = y + b.astype(y.dtype)
+    new_state = full[..., t:, :] if state.shape[-2] else state
+    return y, new_state
+
+
+# ------------------------------------------------------- residual block --
+
+
+def conv_block_init(key, dim, k=4, dilation=1, mlp_ratio=2, dtype=jnp.float32):
+    """ConvNeXt-style causal block: dw-ish conv + gated MLP, pre-LN."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "ln": layer_norm_init(dim, dtype),
+        "conv": causal_conv_init(k1, k, dim, dim, dilation, dtype),
+        "mlp_in": linear_init(k2, dim, dim * mlp_ratio, dtype),
+        "mlp_out": linear_init(k3, dim * mlp_ratio, dim, dtype),
+    }
+
+
+def conv_block_state(batch_shape, dim, k=4, dilation=1, dtype=jnp.float32):
+    return causal_conv_state(batch_shape, k, dim, dilation, dtype)
+
+
+def conv_block(params, x, state, dilation=1, compute_dtype=None):
+    h = layer_norm(params["ln"], x)
+    h, new_state = causal_conv(params["conv"], h, state, dilation, compute_dtype)
+    h = jax.nn.gelu(h)
+    h = linear(params["mlp_in"], h, compute_dtype)
+    h = jax.nn.gelu(h)
+    h = linear(params["mlp_out"], h, compute_dtype)
+    return x + h.astype(x.dtype), new_state
+
+
+# ------------------------------------------------------ cross attention --
+
+
+def cross_attention_init(key, dim, kv_dim, attn_dim, dtype=jnp.float32):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "ln": layer_norm_init(dim, dtype),
+        "q": linear_init(kq, dim, attn_dim, dtype),
+        "k": linear_init(kk, kv_dim, attn_dim, dtype),
+        "v": linear_init(kv, kv_dim, attn_dim, dtype),
+        "o": linear_init(ko, attn_dim, dim, dtype),
+    }
+
+
+def cross_attention(params, x, kv, compute_dtype=None):
+    """Per-frame cross-attention to a per-stream speaker KV bank.
+
+    x: [B, T, H]; kv: [B, L, Ckv] (the 384x128 speaker embedding of
+    beatrice.h:26-27,333-343).  Queries come from the frame stream, keys and
+    values from the speaker bank -- a [B,T,A]x[B,A,L] batched matmul that
+    rides the MXU when B*T is large.
+    """
+    h = layer_norm(params["ln"], x)
+    q = linear(params["q"], h, compute_dtype)  # [B, T, A]
+    k = linear(params["k"], kv, compute_dtype)  # [B, L, A]
+    v = linear(params["v"], kv, compute_dtype)  # [B, L, A]
+    a = q.shape[-1]
+    scores = jnp.einsum("bta,bla->btl", q, k) / math.sqrt(a)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    o = jnp.einsum("btl,bla->bta", w, v)
+    o = linear(params["o"], o, compute_dtype)
+    return x + o.astype(x.dtype)
+
+
+# ----------------------------------------------------------------- snake --
+
+
+def snake_init(dim, alpha=1.0, dtype=jnp.float32):
+    return {"log_alpha": jnp.full((dim,), math.log(alpha), dtype)}
+
+
+def snake(params, x):
+    """Snake activation x + sin^2(ax)/a (periodic inductive bias for audio)."""
+    a = jnp.exp(params["log_alpha"].astype(jnp.float32))
+    x32 = x.astype(jnp.float32)
+    s = jnp.sin(a * x32)
+    return (x32 + s * s / (a + 1e-9)).astype(x.dtype)
+
+
+# ------------------------------------------------------ deterministic rng --
+
+
+def hash_noise(counter, n, salt: int):
+    """Deterministic per-stream uniform noise in [-1, 1): [B, n].
+
+    splitmix32-style integer hash of (stream counter, sample index, salt);
+    fully vectorized, reproducible in NumPy for parity tests, and far
+    cheaper per frame than threefry key derivation.
+    """
+    idx = counter[..., None].astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + (
+        jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(salt)
+    ) * jnp.uint32(0x85EBCA6B)
+    z = idx
+    z = (z ^ (z >> 16)) * jnp.uint32(0x7FEB352D)
+    z = (z ^ (z >> 15)) * jnp.uint32(0x846CA68B)
+    z = z ^ (z >> 16)
+    return z.astype(jnp.float32) * (2.0 / 4294967296.0) - 1.0

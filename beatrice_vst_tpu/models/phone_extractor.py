@@ -1,0 +1,127 @@
+"""PhoneExtractor: streaming content encoder (raw frames -> phone features).
+
+TPU-native replacement for the closed `Beatrice*_ExtractPhone1`
+(`/root/reference/lib/beatricelib/beatrice.h:65-69,243-247`): consumes 160
+raw samples per 10 ms frame, emits a `phone_channels`-dim content vector
+(256-d for 20a2/20b1, 128-d for 20rc0), with persistent streaming context.
+
+Design (original, TPU-first): log-mel front end computed as matmul-DFT
+(ops/frontend.py), then a stack of causal dilated ConvNeXt-style blocks.
+All state is explicit: raw-sample history for the framer plus per-block
+conv history, shaped [B, ...] so thousands of streams batch into single
+matmuls.
+
+The 20rc0 VQ codebook + k-NN phone smoothing (beatrice.h:239-247,318-322)
+lives here too: the reference attaches the codebook to the phone context
+(`Beatrice20rc0_SetCodebook`), and `ExtractPhone1` returns the smoothed
+phone.  We take the per-stream codebook as a conditioning input instead of
+hidden context state -- same contract, but batched and swappable by a
+single gather when the target speaker changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import IN_HOP_LENGTH, VersionSpec
+from ..ops.frontend import MelFrontend
+from . import layers
+
+
+@dataclasses.dataclass(frozen=True)
+class PhoneExtractorConfig:
+    phone_channels: int
+    n_mels: int = 80
+    win: int = 512
+    hidden: int = 256
+    kernel: int = 4
+    dilations: tuple = (1, 2, 4, 8, 1, 2)
+    mlp_ratio: int = 2
+
+    @classmethod
+    def for_version(cls, spec: VersionSpec) -> "PhoneExtractorConfig":
+        return cls(phone_channels=spec.phone_channels)
+
+    @property
+    def frontend(self) -> MelFrontend:
+        return MelFrontend(win=self.win, n_mels=self.n_mels)
+
+
+def init(key, cfg: PhoneExtractorConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, len(cfg.dilations) + 2)
+    return {
+        "prenet": layers.linear_init(keys[0], cfg.n_mels, cfg.hidden, dtype),
+        "blocks": [
+            layers.conv_block_init(
+                keys[i + 1], cfg.hidden, cfg.kernel, d, cfg.mlp_ratio, dtype
+            )
+            for i, d in enumerate(cfg.dilations)
+        ],
+        "out_ln": layers.layer_norm_init(cfg.hidden, dtype),
+        "out": layers.linear_init(keys[-1], cfg.hidden, cfg.phone_channels, dtype),
+    }
+
+
+def init_state(cfg: PhoneExtractorConfig, batch_shape=(), dtype=jnp.float32):
+    return {
+        "audio": jnp.zeros((*batch_shape, cfg.frontend.history), dtype),
+        "blocks": [
+            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d, dtype)
+            for d in cfg.dilations
+        ],
+    }
+
+
+def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None):
+    """audio: [B, T*160] raw 16 kHz samples -> phone [B, T, phone_channels].
+
+    Returns (phone, new_state).  T=1 gives the per-frame streaming step;
+    larger T is the offline/chunked path -- identical code, identical
+    numerics (tested in tests/test_models.py).
+    """
+    fe = cfg.frontend
+    windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
+    mel = fe(windows)  # [B, T, n_mels]
+    h = layers.linear(params["prenet"], mel, compute_dtype)
+    new_block_states = []
+    for p, s, d in zip(params["blocks"], state["blocks"], cfg.dilations):
+        h, ns = layers.conv_block(p, h, s, d, compute_dtype)
+        new_block_states.append(ns)
+    h = layers.layer_norm(params["out_ln"], h)
+    phone = layers.linear(params["out"], h, compute_dtype)
+    return phone, {"audio": new_audio_hist, "blocks": new_block_states}
+
+
+def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8):
+    """k-NN phone smoothing against a per-stream VQ codebook.
+
+    phone: [B, T, C]; codebook: [B, K, C]; num_neighbors: [B] int in
+    [0, max_neighbors], 0 = passthrough (beatrice.h:239-242).
+
+    Replaces the phone vector with the mean of its n nearest codebook
+    entries -- the 20rc0 "VQ num neighbors" control.  Distances are one
+    batched matmul [B,T,C] x [B,C,K]; top-k is static at max_neighbors with
+    a mask for per-stream n, so the whole batch shares one program.
+    """
+    c2 = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)  # [B, K]
+    pc = jnp.einsum("btc,bkc->btk", phone.astype(jnp.float32), codebook.astype(jnp.float32))
+    dist = c2[:, None, :] - 2.0 * pc  # ||p||^2 constant per query: omit
+    neg_dist, idx = jax.lax.top_k(-dist, max_neighbors)  # [B, T, n]
+    neighbors = jnp.take_along_axis(
+        codebook[:, None].astype(jnp.float32),
+        idx[..., None],
+        axis=2,
+    )  # [B, T, n, C] -- gathers along the K axis broadcast over T
+    n = num_neighbors[:, None, None].astype(jnp.int32)
+    mask = (jnp.arange(max_neighbors)[None, None, :] < n).astype(jnp.float32)
+    denom = jnp.maximum(n.astype(jnp.float32), 1.0)
+    smoothed = jnp.einsum("btnc,btn->btc", neighbors, mask) / denom
+    out = jnp.where(n > 0, smoothed, phone.astype(jnp.float32))
+    return out.astype(phone.dtype)
+
+
+def receptive_field_frames(cfg: PhoneExtractorConfig) -> int:
+    return sum((cfg.kernel - 1) * d for d in cfg.dilations) + 1

@@ -1,0 +1,109 @@
+"""PitchEstimator: streaming neural pitch tracker.
+
+TPU-native replacement for `Beatrice*_EstimatePitch1`
+(`/root/reference/lib/beatricelib/beatrice.h:88-93,266-271`): 160 raw
+samples per frame in; out comes one quantized pitch bin (96 bins/octave,
+bin 0 = 55 Hz / MIDI 33, 384 or 448 bins by version) plus 4 continuous
+pitch features (periodicity/aperiodicity-style), with a clampable
+[min, max] bin range (`SetMin/MaxQuantizedPitch`, beatrice.h:80-87).
+
+Design: a wider analysis window (1024 samples, 64 ms -- enough for ~3.5
+periods at 55 Hz) through the matmul-DFT mel front end, then a small causal
+conv stack with two heads: bin logits (classification over the version's
+pitch bins) and the 4 features.  The min/max clamp is a per-stream mask on
+the logits before the argmax, so 2000 streams with different vocal ranges
+share one program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import VersionSpec
+from ..ops.frontend import MelFrontend
+from . import layers
+
+
+@dataclasses.dataclass(frozen=True)
+class PitchEstimatorConfig:
+    pitch_bins: int
+    n_mels: int = 128
+    win: int = 1024
+    hidden: int = 256
+    kernel: int = 4
+    dilations: tuple = (1, 2, 4, 1)
+    mlp_ratio: int = 2
+    n_features: int = 4
+
+    @classmethod
+    def for_version(cls, spec: VersionSpec) -> "PitchEstimatorConfig":
+        return cls(pitch_bins=spec.pitch_bins)
+
+    @property
+    def frontend(self) -> MelFrontend:
+        # fmax 4 kHz: pitch information lives low; keeps mel resolution dense
+        return MelFrontend(win=self.win, n_mels=self.n_mels, fmax=4000.0)
+
+
+def init(key, cfg: PitchEstimatorConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, len(cfg.dilations) + 3)
+    return {
+        "prenet": layers.linear_init(keys[0], cfg.n_mels, cfg.hidden, dtype),
+        "blocks": [
+            layers.conv_block_init(
+                keys[i + 1], cfg.hidden, cfg.kernel, d, cfg.mlp_ratio, dtype
+            )
+            for i, d in enumerate(cfg.dilations)
+        ],
+        "out_ln": layers.layer_norm_init(cfg.hidden, dtype),
+        "logits": layers.linear_init(keys[-2], cfg.hidden, cfg.pitch_bins, dtype),
+        "features": layers.linear_init(keys[-1], cfg.hidden, cfg.n_features, dtype),
+    }
+
+
+def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32):
+    return {
+        "audio": jnp.zeros((*batch_shape, cfg.frontend.history), dtype),
+        "blocks": [
+            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d, dtype)
+            for d in cfg.dilations
+        ],
+    }
+
+
+def apply(params, cfg: PitchEstimatorConfig, audio, state,
+          min_quantized_pitch=None, max_quantized_pitch=None,
+          compute_dtype=None):
+    """audio: [B, T*160] -> (quantized_pitch [B,T] int32, features [B,T,4]).
+
+    min/max_quantized_pitch: [B] int per-stream bin clamps (default full
+    range), matching SetMin/MaxQuantizedPitch semantics: the argmax is
+    restricted to [min, max] inclusive.
+    """
+    fe = cfg.frontend
+    windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
+    mel = fe(windows)
+    h = layers.linear(params["prenet"], mel, compute_dtype)
+    new_block_states = []
+    for p, s, d in zip(params["blocks"], state["blocks"], cfg.dilations):
+        h, ns = layers.conv_block(p, h, s, d, compute_dtype)
+        new_block_states.append(ns)
+    h = layers.layer_norm(params["out_ln"], h)
+    logits = layers.linear(params["logits"], h, compute_dtype).astype(jnp.float32)
+    features = layers.linear(params["features"], h, compute_dtype).astype(jnp.float32)
+
+    bins = jnp.arange(cfg.pitch_bins)
+    if min_quantized_pitch is None:
+        min_quantized_pitch = jnp.asarray(1)
+    if max_quantized_pitch is None:
+        max_quantized_pitch = jnp.asarray(cfg.pitch_bins - 1)
+    lo = jnp.asarray(min_quantized_pitch)[..., None, None]  # [B,1,1]
+    hi = jnp.asarray(max_quantized_pitch)[..., None, None]
+    allowed = (bins >= lo) & (bins <= hi)
+    masked = jnp.where(allowed, logits, -jnp.inf)
+    qp = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    new_state = {"audio": new_audio_hist, "blocks": new_block_states}
+    return qp, features, new_state
