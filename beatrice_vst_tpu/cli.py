@@ -1,0 +1,126 @@
+"""Command-line interface.
+
+    python -m beatrice_vst_tpu.cli init-model DIR [--version V] [--voices N]
+    python -m beatrice_vst_tpu.cli convert IN.wav OUT.wav --model DIR
+        [--voice N | --morph w0,w1,...] [--pitch-shift ST] [--formant-shift ST]
+        [--intonation X] [--pitch-correction X] [--vq-neighbors N] ...
+    python -m beatrice_vst_tpu.cli info --model DIR
+
+This is the framework's user-facing control plane, standing in for the
+plugin GUI/controller layers of the reference (src/vst/): the same
+parameters, driven from the command line over the offline converter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_init_model(args):
+    from .models.io import init_random_model_dir
+
+    config, *_ = init_random_model_dir(
+        args.dir, version=args.version, n_voices=args.voices, seed=args.seed
+    )
+    print(f"initialized {args.version} model with {config.voice_count} voices at {args.dir}")
+
+
+def cmd_info(args):
+    from .models.io import load_model_dir
+    from .models.io import flatten_params
+
+    config, model_cfg, params, bank = load_model_dir(args.model)
+    n_params = sum(int(np.prod(v.shape)) for v in flatten_params(params).values())
+    info = {
+        "version": config.version,
+        "name": config.name,
+        "voices": [v.name for v in config.voices],
+        "average_pitches": [v.average_pitch for v in config.voices],
+        "parameters": n_params,
+        "phone_channels": config.spec.phone_channels,
+        "pitch_bins": config.spec.pitch_bins,
+    }
+    print(json.dumps(info, indent=2))
+
+
+def cmd_convert(args):
+    from .audio_io import read_wav, write_wav
+    from .models.io import load_model_dir
+    from .runtime import ConversionSettings, convert_utterance
+
+    config, model_cfg, params, bank = load_model_dir(args.model)
+    audio, sr = read_wav(args.input)
+    morph = None
+    if args.morph:
+        morph = np.asarray([float(w) for w in args.morph.split(",")], np.float32)
+    settings = ConversionSettings(
+        target_speaker=args.voice,
+        formant_shift=args.formant_shift,
+        pitch_shift=args.pitch_shift,
+        average_source_pitch=args.average_source_pitch,
+        intonation_intensity=args.intonation,
+        pitch_correction=args.pitch_correction,
+        pitch_correction_type=args.pitch_correction_type,
+        vq_num_neighbors=args.vq_neighbors,
+        morph_weights=morph,
+    )
+    t0 = time.perf_counter()
+    out = convert_utterance(
+        params, model_cfg, bank, audio, sr, settings,
+        out_sample_rate=args.output_rate or sr,
+        compute_dtype=args.dtype,
+    )
+    dt = time.perf_counter() - t0
+    write_wav(args.output, out, args.output_rate or sr)
+    dur = len(audio) / sr
+    print(
+        f"converted {dur:.2f}s of audio in {dt:.2f}s "
+        f"({dur / dt:.1f}x real-time) -> {args.output}"
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="beatrice_vst_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("init-model", help="create a random-init model directory")
+    pi.add_argument("dir")
+    pi.add_argument("--version", default="2.0.0-rc.0",
+                    choices=["2.0.0-alpha.2", "2.0.0-beta.1", "2.0.0-rc.0"])
+    pi.add_argument("--voices", type=int, default=4)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.set_defaults(fn=cmd_init_model)
+
+    pn = sub.add_parser("info", help="print model card info")
+    pn.add_argument("--model", required=True)
+    pn.set_defaults(fn=cmd_info)
+
+    pc = sub.add_parser("convert", help="offline voice conversion")
+    pc.add_argument("input")
+    pc.add_argument("output")
+    pc.add_argument("--model", required=True, help="model dir or config.toml")
+    pc.add_argument("--voice", type=int, default=0)
+    pc.add_argument("--morph", default=None,
+                    help="comma-separated per-voice morph weights (enables morph mode)")
+    pc.add_argument("--pitch-shift", type=float, default=0.0)
+    pc.add_argument("--formant-shift", type=float, default=0.0)
+    pc.add_argument("--average-source-pitch", type=float, default=52.0)
+    pc.add_argument("--intonation", type=float, default=1.0)
+    pc.add_argument("--pitch-correction", type=float, default=0.0)
+    pc.add_argument("--pitch-correction-type", type=int, default=0, choices=[0, 1])
+    pc.add_argument("--vq-neighbors", type=int, default=0)
+    pc.add_argument("--output-rate", type=int, default=None)
+    pc.add_argument("--dtype", default=None, choices=[None, "bfloat16"], nargs="?")
+    pc.set_defaults(fn=cmd_convert)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

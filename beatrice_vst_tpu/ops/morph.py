@@ -96,6 +96,11 @@ def prune_top_k(weights, k: int):
     participate in morphing; indices are returned most-weighted-first so the
     codebook lottery can walk them in order.
     """
+    if weights.shape[-1] < k:
+        raise ValueError(
+            f"weights must have >= {k} entries (pad to MAX_N_SPEAKERS first); "
+            f"got {weights.shape[-1]}"
+        )
     topv, topi = jax.lax.top_k(weights, k)
     s = weights.shape[-1]
     oh = (topi[..., None] == jnp.arange(s)).astype(weights.dtype)

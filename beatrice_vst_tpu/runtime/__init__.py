@@ -1,0 +1,15 @@
+"""Batched streaming runtime: the replacement for the per-instance VST
+callback -- stream table, control staging, jitted tick, offline converter."""
+
+from .controls import ControlStage, init_controls  # noqa: F401
+from .engine import (  # noqa: F401
+    EngineConfig,
+    StreamEngine,
+    apply_control_updates,
+    engine_tick,
+    init_engine_state,
+    refresh_morphed,
+    reset_streams,
+)
+from .handle import StreamHandle  # noqa: F401
+from .offline import ConversionSettings, build_cond, convert_utterance  # noqa: F401

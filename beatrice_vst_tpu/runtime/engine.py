@@ -1,0 +1,270 @@
+"""StreamEngine: the batched real-time tick loop.
+
+This replaces the reference's per-instance audio callback
+(`/root/reference/src/vst/processor.cc:103-225` +
+`processor_core_2.cc:24-48`): instead of one mono stream per plugin
+instance, a fixed-capacity table of streams advances together, one 10 ms
+tick at a time, as a single jitted XLA computation:
+
+    audio48 in [B, T*480] -> input gain -> 48k->16k resample ->
+    VoiceConverter chain (phone/pitch/vocoder) -> 24k->48k resample ->
+    output gain -> mute inactive -> audio48 out [B, T*480]
+
+All per-stream state (model scan carries, resampler/gain state, control
+tensors, morphed speaker embeddings, frame counters) lives in one device
+pytree that is donated through `tick`, so steady-state runs allocation-free.
+Control changes are staged host-side (runtime/controls.py) and applied as
+batched scatters between ticks -- the analogue of draining
+`unreflected_params_` before processing.  A muted/inactive stream outputs
+zeros but keeps its slot, matching the reference's fill-zero failure model
+(processor_core.h:95-104).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import COMMON_HOP_LENGTH, VersionSpec, V20RC0
+from ..models import chain
+from ..models.chain import VoiceConverterConfig
+from ..ops.gain import gain_process
+from ..ops.resample import input_resampler_48k_to_16k, output_resampler_24k_to_48k
+from ..speakers import morpher
+from .controls import ControlStage, init_controls
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    capacity: int  # stream slots (static batch)
+    model: VoiceConverterConfig
+    frames_per_tick: int = 1  # T; 1 = real-time 10 ms ticks
+    compute_dtype: str | None = None  # e.g. "bfloat16" on TPU
+
+    @classmethod
+    def realtime(cls, capacity: int, spec: VersionSpec = V20RC0, **kw) -> "EngineConfig":
+        return cls(capacity=capacity, model=VoiceConverterConfig.for_version(spec), **kw)
+
+    @property
+    def spec(self) -> VersionSpec:
+        return self.model.spec
+
+    @property
+    def samples_per_tick(self) -> int:
+        return self.frames_per_tick * COMMON_HOP_LENGTH
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+
+
+def init_engine_state(cfg: EngineConfig):
+    b = (cfg.capacity,)
+    rs_in = input_resampler_48k_to_16k(cfg.frames_per_tick)
+    rs_out = output_resampler_24k_to_48k(cfg.frames_per_tick)
+    spec = cfg.spec
+    state = {
+        "model": chain.init_state(cfg.model, b),
+        "rs_in": rs_in.init_state(b),
+        "rs_out": rs_out.init_state(b),
+        "gain_in_db": jnp.zeros(b, jnp.float32),
+        "gain_out_db": jnp.zeros(b, jnp.float32),
+        "controls": init_controls(spec, cfg.capacity),
+        "frame_counter": jnp.zeros(b, jnp.uint32),
+        "morphed": {
+            "additive": jnp.zeros((cfg.capacity, cfg.model.wg.hidden), jnp.float32),
+        },
+    }
+    if spec.has_kv:
+        state["morphed"]["kv"] = jnp.zeros(
+            (cfg.capacity, spec.kv_length, spec.kv_channels), jnp.float32
+        )
+    return state
+
+
+def _build_cond(cfg: EngineConfig, bank, state):
+    """Resolve per-stream conditioning from controls + bank, one tick."""
+    c = state["controls"]
+    additive, kv, cb_idx = morpher.select_conditioning(
+        bank,
+        c["target_speaker"],
+        state["morphed"],
+        c["formant_index"],
+        frame_counter=state["frame_counter"] if "codebook" in bank else None,
+        pruned_weights=c["morph_weights"],
+        top_idx=c["morph_top_idx"],
+    )
+    cond = {
+        "speaker_embedding": additive,
+        "vq_num_neighbors": c["vq_num_neighbors"],
+        "min_q": c["min_q"],
+        "max_q": c["max_q"],
+        "average_source_pitch": c["average_source_pitch"],
+        "intonation_intensity": c["intonation_intensity"],
+        "pitch_shift": c["pitch_shift"],
+        "pitch_correction": c["pitch_correction"],
+        "pitch_correction_type": c["pitch_correction_type"],
+    }
+    if cfg.spec.has_kv:
+        cond["kv"] = kv
+    if cfg.spec.has_vq:
+        # one codebook per stream per tick (per-frame lottery when T == 1,
+        # which is the real-time configuration; see morpher.codebook_lottery)
+        cond["codebook"] = bank["codebook"][cb_idx]
+    return cond
+
+
+def engine_tick(params, bank, state, audio48, *, cfg: EngineConfig):
+    """One tick: [B, T*480] @48k in -> ([B, T*480] @48k out, new state)."""
+    rs_in = input_resampler_48k_to_16k(cfg.frames_per_tick)
+    rs_out = output_resampler_24k_to_48k(cfg.frames_per_tick)
+    c = state["controls"]
+
+    x, gain_in_db = gain_process(
+        audio48, state["gain_in_db"], c["input_gain_db"], 48000.0
+    )
+    x16, rs_in_state = rs_in.apply_block(x, state["rs_in"])
+    cond = _build_cond(cfg, bank, state)
+    y24, model_state = chain.apply(
+        params, cfg.model, x16, state["model"], cond, compute_dtype=cfg.dtype
+    )
+    y48, rs_out_state = rs_out.apply_block(y24, state["rs_out"])
+    y48, gain_out_db = gain_process(
+        y48, state["gain_out_db"], c["output_gain_db"], 48000.0
+    )
+    y48 = jnp.where(c["active"][:, None], y48, 0.0)
+
+    new_state = {
+        **state,
+        "model": model_state,
+        "rs_in": rs_in_state,
+        "rs_out": rs_out_state,
+        "gain_in_db": gain_in_db,
+        "gain_out_db": gain_out_db,
+        "frame_counter": state["frame_counter"] + jnp.uint32(cfg.frames_per_tick),
+    }
+    return y48, new_state
+
+
+def apply_control_updates(state, updates):
+    """Scatter staged control edits into the control tensors.
+
+    updates: {field: (idx [K], values [K, ...])} from ControlStage.drain().
+    Morph weight edits also refresh the per-stream morphed embeddings
+    (the event-driven replacement for the reference's time-sliced morph,
+    processor_core_2.cc:124-176) -- done by the engine wrapper because it
+    needs the bank.
+    """
+    controls = dict(state["controls"])
+    for field, (idx, values) in updates.items():
+        controls[field] = controls[field].at[idx].set(
+            jnp.asarray(values).astype(controls[field].dtype)
+        )
+    return {**state, "controls": controls}
+
+
+def refresh_morphed(state, bank, idx):
+    """Recompute morphed embeddings for the given stream indices (batched
+    spherical averages over the top-8 morph speakers)."""
+    c = state["controls"]
+    pruned = c["morph_weights"][idx]
+    top = c["morph_top_idx"][idx]
+    m = morpher.update_morphed_embeddings(bank, pruned, top)
+    morphed = dict(state["morphed"])
+    for k in morphed:
+        morphed[k] = morphed[k].at[idx].set(m[k].astype(morphed[k].dtype))
+    return {**state, "morphed": morphed}
+
+
+def reset_streams(state, cfg: EngineConfig, idx):
+    """Zero the carries of the given stream slots (admission / ResetContext,
+    processor.cc:88-98): fresh model/resampler/gain state, controls kept."""
+    fresh = init_engine_state(cfg)
+
+    def reset_leaf(cur, init):
+        return cur.at[idx].set(init[idx])
+
+    out = dict(state)
+    for key in ("model", "rs_in", "rs_out"):
+        out[key] = jax.tree_util.tree_map(
+            lambda c_, i_: reset_leaf(c_, i_), state[key], fresh[key]
+        )
+    out["gain_in_db"] = state["gain_in_db"].at[idx].set(
+        state["controls"]["input_gain_db"][idx]
+    )
+    out["gain_out_db"] = state["gain_out_db"].at[idx].set(
+        state["controls"]["output_gain_db"][idx]
+    )
+    out["frame_counter"] = state["frame_counter"].at[idx].set(0)
+    return out
+
+
+class StreamEngine:
+    """Host-side wrapper: owns params/bank/state + jitted tick, stream
+    table (admit/evict), and the control stage.
+
+    Typical loop (the scheduler tick, one per 10 ms):
+        engine.flush_controls()            # staged edits -> device
+        out48 = engine.tick(in48)          # [capacity, 480] -> [capacity, 480]
+    """
+
+    def __init__(self, cfg: EngineConfig, params, bank, jit: bool = True):
+        self.cfg = cfg
+        self.params = params
+        self.bank = bank
+        self.state = init_engine_state(cfg)
+        self.stage = ControlStage()
+        self._free = list(range(cfg.capacity - 1, -1, -1))
+        self._morph_dirty: set[int] = set()
+        tick = functools.partial(engine_tick, cfg=cfg)
+        self._tick = jax.jit(tick, donate_argnums=(2,)) if jit else tick
+        self.metrics = {"ticks": 0, "admitted": 0, "evicted": 0}
+
+    # ---- stream table ----
+
+    def admit(self) -> int:
+        """Allocate a stream slot; returns its index (raises if full)."""
+        if not self._free:
+            raise RuntimeError("stream capacity exhausted")
+        idx = self._free.pop()
+        self.state = reset_streams(self.state, self.cfg, jnp.asarray([idx]))
+        self.stage.stage(idx, "active", True)
+        self.metrics["admitted"] += 1
+        return idx
+
+    def evict(self, idx: int) -> None:
+        self.stage.stage(idx, "active", False)
+        self._free.append(idx)
+        self.metrics["evicted"] += 1
+
+    # ---- controls ----
+
+    def set_control(self, idx: int, field: str, value) -> None:
+        self.stage.stage(idx, field, value)
+        if field in ("morph_weights", "morph_top_idx"):
+            self._morph_dirty.add(int(idx))
+
+    def flush_controls(self) -> None:
+        if self.stage.pending():
+            self.state = apply_control_updates(self.state, self.stage.drain())
+        if self._morph_dirty:
+            idx = jnp.asarray(sorted(self._morph_dirty), jnp.int32)
+            self.state = refresh_morphed(self.state, self.bank, idx)
+            self._morph_dirty.clear()
+
+    # ---- the tick ----
+
+    def tick(self, audio48_in) -> jax.Array:
+        """audio48_in: [capacity, T*480] -> [capacity, T*480]."""
+        self.flush_controls()
+        out, self.state = self._tick(self.params, self.bank, self.state, audio48_in)
+        self.metrics["ticks"] += 1
+        return out
+
+    @property
+    def n_active(self) -> int:
+        return self.cfg.capacity - len(self._free)

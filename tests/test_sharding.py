@@ -1,0 +1,78 @@
+"""Mesh/sharding on the 8-device CPU mesh: dp+tp train step, sharded engine
+tick, sharded == single-device numerics (SURVEY.md test strategy #4)."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from beatrice_vst_tpu.constants import V20A2, V20RC0
+from beatrice_vst_tpu.models import chain
+from beatrice_vst_tpu.parallel import (
+    make_mesh,
+    params_sharding,
+    shard_tree,
+    state_sharding,
+)
+from beatrice_vst_tpu.runtime import EngineConfig, engine_tick, init_engine_state
+from beatrice_vst_tpu.speakers import bank as bank_mod
+
+
+def test_mesh_axes():
+    mesh = make_mesh(streams=4, model=2)
+    assert dict(mesh.shape) == {"streams": 4, "model": 2}
+
+
+def test_params_sharding_rules():
+    cfg = chain.VoiceConverterConfig.for_version(V20RC0)
+    params = chain.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(streams=4, model=2)
+    sh = params_sharding(params, mesh, model_parallel=True)
+    # an mlp_in weight should be column-sharded over 'model'
+    s = sh["phone"]["blocks"][0]["mlp_in"]["w"]
+    assert s.spec == P(None, "model")
+    s_out = sh["phone"]["blocks"][0]["mlp_out"]["w"]
+    assert s_out.spec == P("model", None)
+    # layer norm params replicated
+    assert sh["phone"]["out_ln"]["g"].spec == P()
+
+
+def test_sharded_engine_tick_matches_single_device():
+    spec = V20A2
+    cap = 8
+    cfg = EngineConfig.realtime(cap, spec)
+    params = chain.init(jax.random.PRNGKey(0), cfg.model)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), spec, 3)
+    state = init_engine_state(cfg)
+    state["controls"]["active"] = jnp.ones(cap, bool)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((cap, 480)) * 0.1, jnp.float32)
+
+    ref, _ = engine_tick(params, bank, state, x, cfg=cfg)
+
+    mesh = make_mesh(streams=8, model=1)
+    sstate = shard_tree(state, state_sharding(state, mesh))
+    sx = jax.device_put(x, NamedSharding(mesh, P("streams", None)))
+    tick = jax.jit(functools.partial(engine_tick, cfg=cfg))
+    with mesh:
+        out, new_state = tick(params, bank, sstate, sx)
+    # sharded compilation reassociates reductions: tolerance covers fp32 noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=1e-4)
+    # output is sharded over streams
+    assert len(out.sharding.device_set) == 8
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 480)
