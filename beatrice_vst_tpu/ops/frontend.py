@@ -100,12 +100,23 @@ class MelFrontend:
 
     def frames_from_chunk(self, history, chunk):
         """Slice a [..., T*hop] chunk plus [..., history] left-context into
-        per-frame windows [..., T, win]; returns (windows, new_history)."""
+        per-frame windows [..., T, win]; returns (windows, new_history).
+
+        Gather-free framing: view the signal as hop-sized rows and stack
+        ceil(win/hop) shifted row-slices, then trim to the window length --
+        reshapes and slices only, which XLA fuses and the Mosaic backend
+        compiles instantly (an explicit [T, win] index gather was a
+        compile-time cliff).
+        """
         t = chunk.shape[-1] // self.hop
-        full = jnp.concatenate([history, chunk], axis=-1)
-        idx = (
-            jnp.arange(t)[:, None] * self.hop + jnp.arange(self.win)[None, :]
-        )  # [T, win]
-        windows = full[..., idx]
+        full = jnp.concatenate([history.astype(chunk.dtype), chunk], axis=-1)
         new_history = full[..., t * self.hop:]
+        nrows = -(-self.win // self.hop)  # hop rows covering one window
+        pad = (t + nrows) * self.hop - full.shape[-1]
+        padded = jnp.concatenate(
+            [full, jnp.zeros((*full.shape[:-1], pad), full.dtype)], axis=-1
+        )
+        rows = padded.reshape(*full.shape[:-1], t + nrows, self.hop)
+        parts = [rows[..., j: j + t, :] for j in range(nrows)]
+        windows = jnp.concatenate(parts, axis=-1)[..., : self.win]
         return windows, new_history

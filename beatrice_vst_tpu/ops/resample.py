@@ -27,6 +27,7 @@ import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -91,7 +92,10 @@ def design_polyphase(L: int, M: int, taps: int = 16, cutoff: float = 1.0):
                 W[p, k] = proto[j]
     # per-phase DC normalization
     W /= np.maximum(W.sum(axis=1, keepdims=True), 1e-12)
-    return jnp.asarray(W, jnp.float32), K, k_fwd
+    # NOTE: returns host numpy (never jnp): this function is lru_cached and
+    # may first run inside a jit trace, where a jnp constant would be a
+    # tracer and poison the cache.
+    return W.astype(np.float32), K, k_fwd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,20 +121,8 @@ class Resampler:
     @functools.cached_property
     def _table(self):
         W, K, k_fwd = design_polyphase(self.L, self.M, self.taps, self.cutoff)
-        n = np.arange(self.out_block)
-        phase = (n * self.M) % self.L
-        base = (n * self.M) // self.L
         hist = K - 1
-        # absolute gather index into [history | block]: hist + base - k
-        k = np.arange(K)
-        gather_idx = hist + base[:, None] - k[None, :]  # [n_out, K]
-        weights = np.asarray(W)[phase]  # [n_out, K]
-        return (
-            jnp.asarray(gather_idx, jnp.int32),
-            jnp.asarray(weights, jnp.float32),
-            hist,
-            k_fwd,
-        )
+        return np.asarray(W), K, hist, k_fwd
 
     @property
     def history_len(self) -> int:
@@ -154,11 +146,35 @@ class Resampler:
         return jnp.zeros((*batch_shape, self.history_len), dtype)
 
     def apply_block(self, x, history):
-        """[..., in_block] + [..., hist] -> ([..., out_block], new history)."""
-        idx, w, hist, _ = self._table
-        full = jnp.concatenate([history, x], axis=-1)
-        windows = full[..., idx]  # [..., n_out, K]
-        y = jnp.einsum("...ok,ok->...o", windows, w)
+        """[..., in_block] + [..., hist] -> ([..., out_block], new history).
+
+        Phase-decomposed evaluation: outputs of phase p are strided (every
+        M-th input) slices weighted by scalar taps, so the whole block is
+        L*K strided slices + fused multiply-adds -- no gather ops, which
+        keeps both XLA compile time and TPU runtime low (a [n_out, K]
+        index gather here was a compile-time cliff on the Mosaic backend).
+        """
+        W, K, hist, _ = self._table
+        full = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
+        n_j = self.out_block // self.L  # outputs per residue class
+        residues = []
+        for r in range(self.L):
+            # outputs n = q*L + r: base = q*M + (r*M)//L, phase = (r*M) % L
+            base_r = (r * self.M) // self.L
+            w_row = W[(r * self.M) % self.L]
+            acc = None
+            for k in range(K):
+                w = float(w_row[k])
+                if w == 0.0:
+                    continue
+                start = hist + base_r - k
+                sl = jax.lax.slice_in_dim(
+                    full, start, start + (n_j - 1) * self.M + 1, self.M, axis=-1
+                )
+                acc = sl * w if acc is None else acc + sl * w
+            residues.append(acc)
+        # interleave residue classes: out[q*L + r] = residues[r][q]
+        y = jnp.stack(residues, axis=-1).reshape(*x.shape[:-1], n_j * self.L)
         new_history = full[..., full.shape[-1] - hist:]
         return y, new_history
 

@@ -12,4 +12,6 @@ from .engine import (  # noqa: F401
     reset_streams,
 )
 from .handle import StreamHandle  # noqa: F401
+from .metrics import EngineMetrics  # noqa: F401
 from .offline import ConversionSettings, build_cond, convert_utterance  # noqa: F401
+from .server import StreamingServer, StreamSession  # noqa: F401

@@ -180,27 +180,33 @@ def refresh_morphed(state, bank, idx):
     return {**state, "morphed": morphed}
 
 
-def reset_streams(state, cfg: EngineConfig, idx):
-    """Zero the carries of the given stream slots (admission / ResetContext,
-    processor.cc:88-98): fresh model/resampler/gain state, controls kept."""
-    fresh = init_engine_state(cfg)
+@jax.jit
+def _reset_masked(state, mask):
+    """Zero the carries of masked stream slots (admission / ResetContext,
+    processor.cc:88-98): fresh model/resampler/gain state, controls kept.
+    One fused computation regardless of how many streams reset."""
 
-    def reset_leaf(cur, init):
-        return cur.at[idx].set(init[idx])
+    def zero_slot(leaf):
+        m = mask.reshape(mask.shape + (1,) * (leaf.ndim - 1))
+        return jnp.where(m, jnp.zeros((), leaf.dtype), leaf)
 
     out = dict(state)
     for key in ("model", "rs_in", "rs_out"):
-        out[key] = jax.tree_util.tree_map(
-            lambda c_, i_: reset_leaf(c_, i_), state[key], fresh[key]
-        )
-    out["gain_in_db"] = state["gain_in_db"].at[idx].set(
-        state["controls"]["input_gain_db"][idx]
+        out[key] = jax.tree_util.tree_map(zero_slot, state[key])
+    out["gain_in_db"] = jnp.where(
+        mask, state["controls"]["input_gain_db"], state["gain_in_db"]
     )
-    out["gain_out_db"] = state["gain_out_db"].at[idx].set(
-        state["controls"]["output_gain_db"][idx]
+    out["gain_out_db"] = jnp.where(
+        mask, state["controls"]["output_gain_db"], state["gain_out_db"]
     )
-    out["frame_counter"] = state["frame_counter"].at[idx].set(0)
+    out["frame_counter"] = jnp.where(mask, 0, state["frame_counter"])
     return out
+
+
+def reset_streams(state, cfg: EngineConfig, idx):
+    """Reset the given stream slots (array of indices)."""
+    mask = jnp.zeros((cfg.capacity,), bool).at[jnp.asarray(idx)].set(True)
+    return _reset_masked(state, mask)
 
 
 class StreamEngine:
@@ -222,7 +228,12 @@ class StreamEngine:
         self._morph_dirty: set[int] = set()
         tick = functools.partial(engine_tick, cfg=cfg)
         self._tick = jax.jit(tick, donate_argnums=(2,)) if jit else tick
-        self.metrics = {"ticks": 0, "admitted": 0, "evicted": 0}
+        from .metrics import EngineMetrics
+
+        self.metrics = EngineMetrics()
+        self.counters = {"admitted": 0, "evicted": 0}
+        self._pending_reset: set[int] = set()
+        self._slot_used = [False] * cfg.capacity
 
     # ---- stream table ----
 
@@ -231,15 +242,19 @@ class StreamEngine:
         if not self._free:
             raise RuntimeError("stream capacity exhausted")
         idx = self._free.pop()
-        self.state = reset_streams(self.state, self.cfg, jnp.asarray([idx]))
+        # fresh slots are already zero; recycled slots reset lazily in one
+        # batched masked update at the next flush (tunnel-dispatch friendly)
+        if self._slot_used[idx]:
+            self._pending_reset.add(idx)
+        self._slot_used[idx] = True
         self.stage.stage(idx, "active", True)
-        self.metrics["admitted"] += 1
+        self.counters["admitted"] += 1
         return idx
 
     def evict(self, idx: int) -> None:
         self.stage.stage(idx, "active", False)
         self._free.append(idx)
-        self.metrics["evicted"] += 1
+        self.counters["evicted"] += 1
 
     # ---- controls ----
 
@@ -251,6 +266,10 @@ class StreamEngine:
     def flush_controls(self) -> None:
         if self.stage.pending():
             self.state = apply_control_updates(self.state, self.stage.drain())
+        if self._pending_reset:
+            idx = jnp.asarray(sorted(self._pending_reset), jnp.int32)
+            self.state = reset_streams(self.state, self.cfg, idx)
+            self._pending_reset.clear()
         if self._morph_dirty:
             idx = jnp.asarray(sorted(self._morph_dirty), jnp.int32)
             self.state = refresh_morphed(self.state, self.bank, idx)
@@ -260,10 +279,16 @@ class StreamEngine:
 
     def tick(self, audio48_in) -> jax.Array:
         """audio48_in: [capacity, T*480] -> [capacity, T*480]."""
+        from .metrics import Timer
+
         self.flush_controls()
-        out, self.state = self._tick(self.params, self.bank, self.state, audio48_in)
-        self.metrics["ticks"] += 1
+        with Timer() as t:
+            out, self.state = self._tick(self.params, self.bank, self.state, audio48_in)
+        self.metrics.record_tick(t.duration, self.n_active, self.cfg.frames_per_tick)
         return out
+
+    def metrics_snapshot(self) -> dict:
+        return {**self.metrics.snapshot(self.n_active), **self.counters}
 
     @property
     def n_active(self) -> int:

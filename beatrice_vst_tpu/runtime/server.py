@@ -1,0 +1,158 @@
+"""Streaming service: sessions, host-edge conversion, and the scheduler.
+
+This is the deployment shell that replaces the DAW host + VST plugin
+instances: a `StreamingServer` owns one batched engine plus a 10 ms
+scheduler loop; each `StreamSession` is the counterpart of one plugin
+instance (arbitrary client sample rate and block sizes), wired through the
+native host-edge primitives:
+
+    client audio (any rate, any block)                 [client thread]
+      -> HostResampler (rate -> 48 kHz)
+      -> SpscRing (in)                                 lock-free handoff
+    scheduler tick (every 10 ms):                      [scheduler thread]
+      -> gather 480-sample blocks from all sessions -> engine.tick
+      -> scatter 480-sample outputs -> SpscRing (out)
+    client pulls:
+      <- SpscRing (out) -> HostResampler (48 kHz -> rate)
+
+A session that hasn't supplied enough input by tick time contributes
+silence for that tick (underrun) rather than stalling the batch --
+per-stream error isolation, the batched version of the reference's
+try-lock-or-silence rule (src/vst/processor.cc:129-141).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+from ..constants import COMMON_HOP_LENGTH, COMMON_SAMPLE_RATE
+from ..native import HostResampler, SpscRing
+
+
+class StreamSession:
+    """One client stream: host-rate edge conversion + ring buffers."""
+
+    def __init__(self, server: "StreamingServer", idx: int, sample_rate: float):
+        self.server = server
+        self.idx = idx
+        self.sample_rate = sample_rate
+        self._rs_in = (
+            HostResampler(sample_rate, COMMON_SAMPLE_RATE)
+            if sample_rate != COMMON_SAMPLE_RATE else None
+        )
+        self._rs_out = (
+            HostResampler(COMMON_SAMPLE_RATE, sample_rate)
+            if sample_rate != COMMON_SAMPLE_RATE else None
+        )
+        self.ring_in = SpscRing(1 << 16)
+        self.ring_out = SpscRing(1 << 16)
+        self.underruns = 0
+        self.closed = False
+
+    # -- client side --
+
+    def push(self, audio: np.ndarray) -> None:
+        """Feed client-rate audio (float32)."""
+        x = np.ascontiguousarray(audio, np.float32)
+        if self._rs_in is not None:
+            x = self._rs_in.process(x)
+        written = self.ring_in.write(x)
+        if written < len(x):  # client is ahead of real time; drop oldest
+            pass
+
+    def pull(self, n: int) -> np.ndarray:
+        """Fetch up to n samples of converted client-rate audio."""
+        if self._rs_out is None:
+            return self.ring_out.read(n)
+        need48 = int(np.ceil(n * COMMON_SAMPLE_RATE / self.sample_rate)) + 4
+        x48 = self.ring_out.read(need48)
+        if not len(x48):
+            return np.zeros(0, np.float32)
+        return self._rs_out.process(x48)
+
+    def set_parameter(self, field: str, value) -> None:
+        self.server.engine.set_control(self.idx, field, value)
+
+    def close(self) -> None:
+        if not self.closed:
+            self.closed = True
+            self.server._close_session(self)
+
+
+class StreamingServer:
+    """Owns the engine + the scheduler thread ticking every 10 ms."""
+
+    def __init__(self, engine, realtime: bool = True):
+        self.engine = engine
+        self.realtime = realtime
+        self.sessions: dict[int, StreamSession] = {}
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: threading.Thread | None = None
+        cap = engine.cfg.capacity
+        self._in_host = np.zeros((cap, engine.cfg.samples_per_tick), np.float32)
+
+    # -- session management --
+
+    def open_session(self, sample_rate: float = 48000.0) -> StreamSession:
+        with self._lock:
+            idx = self.engine.admit()
+            s = StreamSession(self, idx, sample_rate)
+            self.sessions[idx] = s
+            return s
+
+    def _close_session(self, session: StreamSession) -> None:
+        with self._lock:
+            self.sessions.pop(session.idx, None)
+            self.engine.evict(session.idx)
+
+    # -- scheduler --
+
+    def tick_once(self) -> None:
+        """One scheduler tick: gather inputs, run the engine, scatter."""
+        n = self.engine.cfg.samples_per_tick
+        with self._lock:
+            sessions = list(self.sessions.values())
+        self._in_host[:] = 0.0
+        for s in sessions:
+            got = s.ring_in.read(n)
+            if len(got) < n:
+                s.underruns += 1
+            self._in_host[s.idx, : len(got)] = got
+        out = np.asarray(self.engine.tick(self._in_host))
+        for s in sessions:
+            s.ring_out.write(out[s.idx])
+
+    def _loop(self) -> None:
+        period = self.engine.cfg.frames_per_tick * 0.010
+        next_t = time.monotonic()
+        while self._running:
+            self.tick_once()
+            next_t += period
+            if self.realtime:
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                else:
+                    next_t = time.monotonic()  # fell behind; resync
+
+    def start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def metrics(self) -> dict:
+        snap = self.engine.metrics_snapshot()
+        snap["session_underruns"] = sum(s.underruns for s in self.sessions.values())
+        return snap

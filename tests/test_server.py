@@ -1,0 +1,67 @@
+"""Streaming server: sessions at mixed host rates through the scheduler."""
+
+import numpy as np
+import jax
+
+from beatrice_vst_tpu.constants import V20A2
+from beatrice_vst_tpu.models import chain
+from beatrice_vst_tpu.runtime import EngineConfig, StreamEngine, StreamingServer
+from beatrice_vst_tpu.speakers import bank as bank_mod
+
+
+def make_server(cap=3):
+    cfg = EngineConfig.realtime(cap, V20A2)
+    params = chain.init(jax.random.PRNGKey(0), cfg.model)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20A2, 3)
+    eng = StreamEngine(cfg, params, bank, jit=False)
+    return StreamingServer(eng, realtime=False)
+
+
+def test_sessions_mixed_rates_manual_ticks():
+    srv = make_server()
+    s48 = srv.open_session(48000.0)
+    s44 = srv.open_session(44100.0)
+    assert srv.engine.n_active == 2
+
+    t = np.arange(48000 // 2) / 48000
+    x48 = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    t44 = np.arange(44100 // 2) / 44100
+    x44 = (0.3 * np.sin(2 * np.pi * 220 * t44)).astype(np.float32)
+
+    s48.push(x48)
+    s44.push(x44)
+    for _ in range(30):
+        srv.tick_once()
+    y48 = s48.pull(48000)
+    y44 = s44.pull(44100)
+    assert len(y48) > 480 * 20
+    assert len(y44) > 400 * 20
+    assert np.isfinite(y48).all() and np.isfinite(y44).all()
+    m = srv.metrics()
+    assert m["ticks"] == 30 and m["streams_active"] == 2
+
+    s44.close()
+    assert srv.engine.n_active == 1
+
+
+def test_underrun_counts_silence_not_stall():
+    srv = make_server()
+    s = srv.open_session(48000.0)
+    # no input at all: ticks still run, underruns counted
+    for _ in range(5):
+        srv.tick_once()
+    assert s.underruns == 5
+    m = srv.metrics()
+    assert m["session_underruns"] == 5
+
+
+def test_scheduler_thread_start_stop():
+    srv = make_server()
+    s = srv.open_session(48000.0)
+    s.push(np.zeros(4800, np.float32))
+    srv.start()
+    import time
+
+    time.sleep(0.4)
+    srv.stop()
+    assert srv.engine.metrics.ticks >= 1
