@@ -84,6 +84,41 @@ def cmd_convert(args):
     )
 
 
+def cmd_train(args):
+    import jax
+
+    from .models import chain as chain_mod
+    from .models.io import load_model_dir, save_weights
+    from .training import make_teacher_batcher, train
+
+    config, model_cfg, params, bank = load_model_dir(args.model)
+    if args.teacher:
+        _, teacher_cfg, teacher_params, teacher_bank = load_model_dir(args.teacher)
+        if teacher_cfg != model_cfg:
+            raise SystemExit("teacher/student configs differ")
+    else:
+        # self-distillation demo target: a differently-seeded frozen teacher
+        teacher_params = chain_mod.init(jax.random.PRNGKey(args.seed + 1), model_cfg)
+        teacher_bank = bank
+    batches = make_teacher_batcher(
+        model_cfg, teacher_params, teacher_bank,
+        batch=args.batch, frames=args.frames, seed=args.seed,
+    )
+    params, history = train(params, model_cfg, batches, steps=args.steps, lr=args.lr)
+    out = args.output or f"{args.model}/weights.npz"
+    save_weights(out, params)
+    print(f"trained {args.steps} steps; final loss {history[-1][1]:.4f}; saved {out}")
+
+
+def cmd_parity(args):
+    from .constants import VERSIONS
+    from .parity import run_parity
+
+    report = run_parity(spec=VERSIONS[args.version], n_frames=args.frames)
+    print(report)
+    raise SystemExit(0 if report.passed else 1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="beatrice_vst_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,6 +152,23 @@ def main(argv=None):
     pc.add_argument("--output-rate", type=int, default=None)
     pc.add_argument("--dtype", default=None, choices=[None, "bfloat16"], nargs="?")
     pc.set_defaults(fn=cmd_convert)
+
+    pt = sub.add_parser("train", help="distillation training loop")
+    pt.add_argument("--model", required=True, help="student model dir")
+    pt.add_argument("--teacher", default=None, help="teacher model dir (recorded-pair stand-in)")
+    pt.add_argument("--steps", type=int, default=100)
+    pt.add_argument("--batch", type=int, default=8)
+    pt.add_argument("--frames", type=int, default=32)
+    pt.add_argument("--lr", type=float, default=2e-4)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--output", default=None)
+    pt.set_defaults(fn=cmd_train)
+
+    pp = sub.add_parser("parity", help="streaming-vs-offline parity gate")
+    pp.add_argument("--version", default="2.0.0-rc.0",
+                    choices=["2.0.0-alpha.2", "2.0.0-beta.1", "2.0.0-rc.0"])
+    pp.add_argument("--frames", type=int, default=25)
+    pp.set_defaults(fn=cmd_parity)
 
     args = p.parse_args(argv)
     args.fn(args)

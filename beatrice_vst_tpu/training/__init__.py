@@ -6,3 +6,4 @@ from .distill import (  # noqa: F401
     multi_resolution_stft_loss,
     train_step,
 )
+from .loop import make_teacher_batcher, train  # noqa: F401
