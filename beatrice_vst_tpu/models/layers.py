@@ -102,7 +102,9 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None):
         wt = wt.astype(compute_dtype)
     y = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
     y = y + b.astype(y.dtype)
-    new_state = full[..., t:, :] if state.shape[-2] else state
+    # state dtype is sticky: a bf16-initialized carry stays bf16, halving
+    # the per-tick HBM traffic of the streaming state
+    new_state = full[..., t:, :].astype(state.dtype) if state.shape[-2] else state
     return y, new_state
 
 

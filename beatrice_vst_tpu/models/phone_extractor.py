@@ -106,8 +106,12 @@ def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8):
     batched matmul [B,T,C] x [B,C,K]; top-k is static at max_neighbors with
     a mask for per-stream n, so the whole batch shares one program.
     """
-    c2 = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)  # [B, K]
-    pc = jnp.einsum("btc,bkc->btk", phone.astype(jnp.float32), codebook.astype(jnp.float32))
+    # accumulate in f32 but keep inputs in their storage dtype (bf16 banks
+    # halve the dominant [B, K, C] read traffic)
+    c2 = jnp.einsum("bkc,bkc->bk", codebook, codebook,
+                    preferred_element_type=jnp.float32)  # [B, K]
+    pc = jnp.einsum("btc,bkc->btk", phone.astype(codebook.dtype), codebook,
+                    preferred_element_type=jnp.float32)
     dist = c2[:, None, :] - 2.0 * pc  # ||p||^2 constant per query: omit
     neg_dist, idx = jax.lax.top_k(-dist, max_neighbors)  # [B, T, n]
     neighbors = jnp.take_along_axis(

@@ -62,13 +62,37 @@ class EngineConfig:
         return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
 
+def _cast_activation_state(model_state, dtype):
+    """Cast activation carries (conv block histories) to the compute dtype;
+    raw-audio histories and phase/counters stay full precision."""
+
+    def walk(tree, keep):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, keep or k in ("audio", "phase", "noise_counter"))
+                for k, v in tree.items()
+            }
+        if isinstance(tree, list):
+            return [walk(v, keep) for v in tree]
+        if keep or not jnp.issubdtype(tree.dtype, jnp.floating):
+            return tree
+        return tree.astype(dtype)
+
+    return walk(model_state, False)
+
+
 def init_engine_state(cfg: EngineConfig):
     b = (cfg.capacity,)
     rs_in = input_resampler_48k_to_16k(cfg.frames_per_tick)
     rs_out = output_resampler_24k_to_48k(cfg.frames_per_tick)
     spec = cfg.spec
+    model_state = chain.init_state(cfg.model, b)
+    cond_dtype = jnp.float32
+    if cfg.dtype is not None:
+        model_state = _cast_activation_state(model_state, cfg.dtype)
+        cond_dtype = cfg.dtype
     state = {
-        "model": chain.init_state(cfg.model, b),
+        "model": model_state,
         "rs_in": rs_in.init_state(b),
         "rs_out": rs_out.init_state(b),
         "gain_in_db": jnp.zeros(b, jnp.float32),
@@ -80,10 +104,24 @@ def init_engine_state(cfg: EngineConfig):
         },
     }
     if spec.has_kv:
+        # the KV bank is read 8x per tick by the attention blocks: storing
+        # the per-stream morphed copy in compute dtype halves that traffic
         state["morphed"]["kv"] = jnp.zeros(
-            (cfg.capacity, spec.kv_length, spec.kv_channels), jnp.float32
+            (cfg.capacity, spec.kv_length, spec.kv_channels), cond_dtype
         )
     return state
+
+
+def cast_bank(bank, dtype):
+    """Speaker bank in compute dtype (the codebook/kv gathers dominate the
+    per-tick conditioning traffic; morph spherical averages upcast to f32
+    internally so accuracy is unaffected)."""
+    if dtype is None:
+        return bank
+    return {
+        k: v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+        for k, v in bank.items()
+    }
 
 
 def _build_cond(cfg: EngineConfig, bank, state):
@@ -221,7 +259,7 @@ class StreamEngine:
     def __init__(self, cfg: EngineConfig, params, bank, jit: bool = True):
         self.cfg = cfg
         self.params = params
-        self.bank = bank
+        self.bank = cast_bank(bank, cfg.dtype)
         self.state = init_engine_state(cfg)
         self.stage = ControlStage()
         self._free = list(range(cfg.capacity - 1, -1, -1))

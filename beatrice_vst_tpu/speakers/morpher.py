@@ -48,11 +48,13 @@ def update_morphed_embeddings(bank, pruned_weights, top_idx,
     top_idx: [B, 8].  Returns dict with 'additive' [B, 256] and, if the
     bank has KV, 'kv' [B, 384, 128].
     """
-    w8 = jnp.take_along_axis(pruned_weights, top_idx, axis=-1)  # [B, 8]
-    additive_pts = bank["additive"][top_idx]  # [B, 8, 256]
+    w8 = jnp.take_along_axis(pruned_weights, top_idx, axis=-1).astype(jnp.float32)
+    # solve in f32 regardless of bank storage dtype: the L-BFGS iteration is
+    # precision-sensitive (bf16 eps would break the convergence tests)
+    additive_pts = bank["additive"][top_idx].astype(jnp.float32)  # [B, 8, 256]
     out = {"additive": spherical_average(additive_pts, w8, n_iters=n_iters)}
     if "kv" in bank:
-        kv_pts = bank["kv"][top_idx]  # [B, 8, L, C]
+        kv_pts = bank["kv"][top_idx].astype(jnp.float32)  # [B, 8, L, C]
         kv_pts = jnp.swapaxes(kv_pts, 1, 2)  # [B, L, 8, C]
         w_rows = jnp.broadcast_to(w8[:, None, :], kv_pts.shape[:-1])
         out["kv"] = spherical_average(kv_pts, w_rows, n_iters=n_iters)
