@@ -127,7 +127,8 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     audio24, wg_state = waveform_generator.apply(
         params["wg"], cfg.wg, phone, qp, pitch_feats,
         cond["speaker_embedding"], state["wg"],
-        kv_embedding=cond.get("kv"), compute_dtype=compute_dtype,
+        kv_embedding=cond.get("kv"), kv_cache=cond.get("kv_cache"),
+        compute_dtype=compute_dtype,
     )
     new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
     return audio24, new_state

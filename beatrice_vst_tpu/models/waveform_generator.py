@@ -160,9 +160,26 @@ def _harmonic_features(phases, periodicity, cfg):
     return sines * gate
 
 
+def project_kv(params, cfg: WaveformGeneratorConfig, kv_embedding,
+               compute_dtype=None):
+    """Precompute per-block K/V from a speaker KV bank [..., L, Ckv].
+
+    Returns (k [..., n_blocks, L, A], v [..., n_blocks, L, A]) -- the
+    per-stream conditioning cache refreshed on speaker/morph events by the
+    runtime engine (the EmbeddingSetter analogue, beatrice.h:333-343, whose
+    reference amortizes KV uploads 1 block/frame; here the whole refresh is
+    one batched matmul on events only)."""
+    ks, vs = [], []
+    for p in params["blocks"]:
+        k, v = layers.cross_attention_project_kv(p["attn"], kv_embedding, compute_dtype)
+        ks.append(k)
+        vs.append(v)
+    return jnp.stack(ks, axis=-3), jnp.stack(vs, axis=-3)
+
+
 def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
           pitch_features, speaker_embedding, state, kv_embedding=None,
-          compute_dtype=None):
+          kv_cache=None, compute_dtype=None):
     """Generate audio for a chunk of frames.
 
     Args:
@@ -188,12 +205,20 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
     h = h + layers.linear(params["spk_in"], spk, compute_dtype)
 
     new_block_states = []
-    for p, s in zip(params["blocks"], state["blocks"]):
+    for i, (p, s) in enumerate(zip(params["blocks"], state["blocks"])):
         h, ns = layers.conv_block(p["conv"], h, s, 1, compute_dtype)
         if cfg.use_kv_attention:
-            if kv_embedding is None:
-                raise ValueError("20rc0 waveform generator requires kv_embedding")
-            h = layers.cross_attention(p["attn"], h, kv_embedding, compute_dtype)
+            if kv_cache is not None:
+                h = layers.cross_attention_cached(
+                    p["attn"], h, kv_cache[0][:, i], kv_cache[1][:, i],
+                    compute_dtype,
+                )
+            elif kv_embedding is not None:
+                h = layers.cross_attention(p["attn"], h, kv_embedding, compute_dtype)
+            else:
+                raise ValueError(
+                    "20rc0 waveform generator requires kv_embedding or kv_cache"
+                )
         new_block_states.append(ns)
     h = layers.layer_norm(params["out_ln"], h)
 

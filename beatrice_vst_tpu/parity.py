@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 from .constants import COMMON_HOP_LENGTH, V20RC0
 from .models import chain
-from .runtime.engine import EngineConfig, engine_tick, init_engine_state
+from .runtime.engine import (
+    EngineConfig,
+    engine_tick,
+    init_engine_state,
+    refresh_conditioning,
+)
 from .speakers import bank as bank_mod
 
 
@@ -77,7 +82,10 @@ def run_parity(params=None, model_cfg=None, bank=None, audio48=None,
             state["controls"][field] = jnp.broadcast_to(
                 jnp.asarray(value), state["controls"][field].shape
             ).astype(state["controls"][field].dtype)
-        return state
+        # prime the event-driven conditioning caches (morph + KV projections)
+        return refresh_conditioning(
+            params, bank, state, cfg, jnp.arange(b, dtype=jnp.int32)
+        )
 
     # (a) whole-utterance single call
     cfg_chunk = EngineConfig(capacity=b, model=model_cfg, frames_per_tick=n_frames)

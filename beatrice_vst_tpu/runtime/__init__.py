@@ -8,6 +8,8 @@ from .engine import (  # noqa: F401
     apply_control_updates,
     engine_tick,
     init_engine_state,
+    refresh_conditioning,
+    refresh_kv_cache,
     refresh_morphed,
     reset_streams,
 )

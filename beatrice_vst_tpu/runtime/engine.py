@@ -109,6 +109,15 @@ def init_engine_state(cfg: EngineConfig):
         state["morphed"]["kv"] = jnp.zeros(
             (cfg.capacity, spec.kv_length, spec.kv_channels), cond_dtype
         )
+        # per-stream precomputed K/V per block: refreshed on speaker/morph
+        # events, read every tick -- removes the projection matmuls (~5/6
+        # of the vocoder's per-frame FLOPs) from the hot path
+        a = cfg.model.wg.attn_dim
+        nb = cfg.model.wg.n_blocks
+        state["kv_cache"] = (
+            jnp.zeros((cfg.capacity, nb, spec.kv_length, a), cond_dtype),
+            jnp.zeros((cfg.capacity, nb, spec.kv_length, a), cond_dtype),
+        )
     return state
 
 
@@ -125,7 +134,11 @@ def cast_bank(bank, dtype):
 
 
 def _build_cond(cfg: EngineConfig, bank, state):
-    """Resolve per-stream conditioning from controls + bank, one tick."""
+    """Resolve per-stream conditioning from controls + bank, one tick.
+
+    The KV path comes from the precomputed per-stream cache (refreshed on
+    control events), so per-tick work is just the additive/formant select,
+    the codebook gather, and the morph lottery."""
     c = state["controls"]
     additive, kv, cb_idx = morpher.select_conditioning(
         bank,
@@ -135,6 +148,7 @@ def _build_cond(cfg: EngineConfig, bank, state):
         frame_counter=state["frame_counter"] if "codebook" in bank else None,
         pruned_weights=c["morph_weights"],
         top_idx=c["morph_top_idx"],
+        include_kv=False,
     )
     cond = {
         "speaker_embedding": additive,
@@ -148,7 +162,7 @@ def _build_cond(cfg: EngineConfig, bank, state):
         "pitch_correction_type": c["pitch_correction_type"],
     }
     if cfg.spec.has_kv:
-        cond["kv"] = kv
+        cond["kv_cache"] = state["kv_cache"]
     if cfg.spec.has_vq:
         # one codebook per stream per tick (per-frame lottery when T == 1,
         # which is the real-time configuration; see morpher.codebook_lottery)
@@ -218,6 +232,37 @@ def refresh_morphed(state, bank, idx):
     return {**state, "morphed": morphed}
 
 
+def refresh_kv_cache(params, bank, state, cfg: EngineConfig, idx):
+    """Re-project the speaker KV bank into per-block K/V for the given
+    streams (speaker/morph control events; the EmbeddingSetter analogue)."""
+    if not cfg.spec.has_kv:
+        return state
+    from ..models import waveform_generator
+
+    c = state["controls"]
+    n = bank["additive"].shape[0]
+    target = c["target_speaker"][idx]
+    is_morph = target >= n
+    direct = jnp.clip(target, 0, n - 1)
+    kv = jnp.where(
+        is_morph[:, None, None], state["morphed"]["kv"][idx], bank["kv"][direct]
+    )
+    k, v = waveform_generator.project_kv(params["wg"], cfg.model.wg, kv, cfg.dtype)
+    kc, vc = state["kv_cache"]
+    new_cache = (
+        kc.at[idx].set(k.astype(kc.dtype)),
+        vc.at[idx].set(v.astype(vc.dtype)),
+    )
+    return {**state, "kv_cache": new_cache}
+
+
+def refresh_conditioning(params, bank, state, cfg: EngineConfig, idx):
+    """Full event refresh for the given streams: morph embeddings then the
+    KV projection cache (order matters: KV uses the morph result)."""
+    state = refresh_morphed(state, bank, idx)
+    return refresh_kv_cache(params, bank, state, cfg, idx)
+
+
 @jax.jit
 def _reset_masked(state, mask):
     """Zero the carries of masked stream slots (admission / ResetContext,
@@ -272,6 +317,7 @@ class StreamEngine:
         self.counters = {"admitted": 0, "evicted": 0}
         self._pending_reset: set[int] = set()
         self._slot_used = [False] * cfg.capacity
+        self._kv_dirty: set[int] = set()
 
     # ---- stream table ----
 
@@ -286,6 +332,7 @@ class StreamEngine:
             self._pending_reset.add(idx)
         self._slot_used[idx] = True
         self.stage.stage(idx, "active", True)
+        self._kv_dirty.add(idx)
         self.counters["admitted"] += 1
         return idx
 
@@ -300,6 +347,9 @@ class StreamEngine:
         self.stage.stage(idx, field, value)
         if field in ("morph_weights", "morph_top_idx"):
             self._morph_dirty.add(int(idx))
+            self._kv_dirty.add(int(idx))
+        elif field == "target_speaker":
+            self._kv_dirty.add(int(idx))
 
     def flush_controls(self) -> None:
         if self.stage.pending():
@@ -312,6 +362,12 @@ class StreamEngine:
             idx = jnp.asarray(sorted(self._morph_dirty), jnp.int32)
             self.state = refresh_morphed(self.state, self.bank, idx)
             self._morph_dirty.clear()
+        if self._kv_dirty and self.cfg.spec.has_kv:
+            idx = jnp.asarray(sorted(self._kv_dirty), jnp.int32)
+            self.state = refresh_kv_cache(
+                self.params, self.bank, self.state, self.cfg, idx
+            )
+        self._kv_dirty.clear()
 
     # ---- the tick ----
 

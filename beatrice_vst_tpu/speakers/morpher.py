@@ -93,7 +93,8 @@ def codebook_lottery(pruned_weights, top_idx, n_speakers, frame_counter):
 
 
 def select_conditioning(bank, target_speaker, morphed, formant_index,
-                        frame_counter=None, pruned_weights=None, top_idx=None):
+                        frame_counter=None, pruned_weights=None, top_idx=None,
+                        include_kv=True):
     """Resolve per-stream speaker conditioning, mirroring
     SetTargetSpeaker / the morph branch of Process1
     (processor_core_2.cc:431-466, 50-181).
@@ -114,7 +115,7 @@ def select_conditioning(bank, target_speaker, morphed, formant_index,
     )
     additive = additive + bank["formant"][jnp.clip(formant_index, 0, 8)]
     kv = None
-    if "kv" in bank:
+    if "kv" in bank and include_kv:
         kv = jnp.where(
             is_morph[:, None, None], morphed["kv"], bank["kv"][direct]
         )

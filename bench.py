@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 CAPACITIES = tuple(
-    int(c) for c in os.environ.get("BENCH_CAPACITIES", "1024,2048,4096").split(",")
+    int(c) for c in os.environ.get("BENCH_CAPACITIES", "1024,2048,3072").split(",")
 )
 N_WINDOWS = 4
 TICKS_PER_WINDOW = 50
@@ -77,6 +77,14 @@ def measure_capacity(capacity: int):
         return (time.perf_counter() - t0) / n
 
     window(10)  # settle
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        try:
+            with jax.profiler.trace(profile_dir):
+                window(20)
+            log(f"bench: profiler trace written to {profile_dir}")
+        except Exception as e:  # backend may not support profiling
+            log(f"bench: profiling unavailable: {e}")
     samples = [window(TICKS_PER_WINDOW) for _ in range(N_WINDOWS)]
     steady = float(np.min(samples))  # min across windows: pool-contention robust
     median = float(np.median(samples))
@@ -114,6 +122,11 @@ def main():
     # audio without pulling the full block through the slow tunnel.
     d2h_ms = None
     output_ok = False
+    if last_engine is None:  # e.g. the last capacity OOMed: small fallback
+        try:
+            last_engine = make_engine(256)
+        except Exception as e:
+            log(f"bench: verification engine failed: {e}")
     if last_engine is not None:
         log("bench: verification read-back ...")
         eng, x = last_engine
