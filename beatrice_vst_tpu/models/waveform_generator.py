@@ -45,11 +45,14 @@ class WaveformGeneratorConfig:
     n_blocks: int = 4
     kernel: int = 4
     mlp_ratio: int = 2
-    # 20rc0 KV speaker attention
+    # 20rc0 KV speaker attention.  kv_length/kv_channels are the speaker
+    # embedding contract (beatrice.h:26-27); attn_dim is our projection
+    # width -- 64 halves the dominant per-tick K/V cache traffic at batch
+    # (the cache is read by all 4 blocks every frame).
     use_kv_attention: bool = False
     kv_length: int = 384
     kv_channels: int = 128
-    attn_dim: int = 128
+    attn_dim: int = 64
     # upsampler: (rate multiplier, output channels) per stage; prod = 240
     upsample: tuple = ((4, 128), (5, 64), (4, 32), (3, 16))
     up_kernel: int = 3
