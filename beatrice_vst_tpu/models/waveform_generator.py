@@ -58,6 +58,9 @@ class WaveformGeneratorConfig:
     up_kernel: int = 3
     n_harmonics: int = 8
     noise_salt: int = 0x5EED
+    # Pallas-fused upsampler head for the T==1 streaming step on TPU
+    # (models/pallas_upsampler.py); the XLA loop remains the reference path.
+    use_pallas_upsampler: bool = False
 
     @classmethod
     def for_version(cls, spec: VersionSpec) -> "WaveformGeneratorConfig":
@@ -233,31 +236,50 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
     # chunked and per-frame streaming produce identical noise
     counters = state["noise_counter"][:, None] + jnp.arange(t, dtype=jnp.uint32)
 
-    # ---- depth-to-time upsampler ----
-    x = h  # [B, T, C]
-    new_up_states = []
+    # ---- per-rate source features (shared by both upsampler paths) ----
+    src_feats = []
     samples_per_frame = 1
-    for i, ((r, c_out), up) in enumerate(zip(cfg.upsample, params["up"])):
-        y, ns = layers.causal_conv(up["conv"], x, state["up"][i], 1, compute_dtype)
-        new_up_states.append(ns)
-        cur_t = y.shape[1]
-        y = y.reshape(b, cur_t * r, c_out)
+    for i, (r, _) in enumerate(cfg.upsample):
         samples_per_frame *= r
-        # source injection at this rate: subsample the 24 kHz source
         stride = OUT_HOP_LENGTH // samples_per_frame
-        sub = slice(stride - 1, None, stride)
-        harm_r = harm[:, :, sub, :].reshape(b, t * samples_per_frame, cfg.n_harmonics)
+        harm_r = harm[:, :, stride - 1:: stride, :].reshape(
+            b, t * samples_per_frame, cfg.n_harmonics
+        )
         noise_r = layers.hash_noise(
             counters, samples_per_frame, cfg.noise_salt + i * 0x2545F491
         ).reshape(b, t * samples_per_frame, 1)
-        src = jnp.concatenate([harm_r, 0.1 * noise_r], axis=-1)
-        y = y + layers.linear(up["src"], src, compute_dtype).astype(y.dtype)
-        x = layers.snake(up["snake"], y)
+        src_feats.append(jnp.concatenate([harm_r, 0.1 * noise_r], axis=-1))
 
-    y, final_state = layers.causal_conv(
-        params["final"], x, state["final"], 1, compute_dtype
-    )
-    audio = jnp.tanh(y.astype(jnp.float32))[..., 0]  # [B, T*240]
+    # ---- depth-to-time upsampler ----
+    from .pallas_upsampler import TILE as _PALLAS_TILE
+
+    if cfg.use_pallas_upsampler and t == 1 and b % _PALLAS_TILE == 0:
+        from .pallas_upsampler import fused_upsample
+
+        audio, new_states = fused_upsample(
+            params["up"], params["final"], h,
+            [*state["up"], state["final"]], src_feats,
+            rates=tuple(r for r, _ in cfg.upsample),
+            channels=tuple(c for _, c in cfg.upsample),
+            compute_dtype=compute_dtype or jnp.float32,
+        )
+        new_up_states = new_states[:-1]
+        final_state = new_states[-1]
+    else:
+        x = h  # [B, T, C]
+        new_up_states = []
+        for i, ((r, c_out), up) in enumerate(zip(cfg.upsample, params["up"])):
+            y, ns = layers.causal_conv(up["conv"], x, state["up"][i], 1, compute_dtype)
+            new_up_states.append(ns)
+            cur_t = y.shape[1]
+            y = y.reshape(b, cur_t * r, c_out)
+            y = y + layers.linear(up["src"], src_feats[i], compute_dtype).astype(y.dtype)
+            x = layers.snake(up["snake"], y)
+
+        y, final_state = layers.causal_conv(
+            params["final"], x, state["final"], 1, compute_dtype
+        )
+        audio = jnp.tanh(y.astype(jnp.float32))[..., 0]  # [B, T*240]
 
     new_state = {
         "blocks": new_block_states,

@@ -17,3 +17,4 @@ from .handle import StreamHandle  # noqa: F401
 from .metrics import EngineMetrics  # noqa: F401
 from .offline import ConversionSettings, build_cond, convert_utterance  # noqa: F401
 from .server import StreamingServer, StreamSession  # noqa: F401
+from .service import ClientSession, ModelHost  # noqa: F401

@@ -46,8 +46,14 @@ class EngineConfig:
     compute_dtype: str | None = None  # e.g. "bfloat16" on TPU
 
     @classmethod
-    def realtime(cls, capacity: int, spec: VersionSpec = V20RC0, **kw) -> "EngineConfig":
-        return cls(capacity=capacity, model=VoiceConverterConfig.for_version(spec), **kw)
+    def realtime(cls, capacity: int, spec: VersionSpec = V20RC0,
+                 use_pallas_upsampler: bool = False, **kw) -> "EngineConfig":
+        model = VoiceConverterConfig.for_version(spec)
+        if use_pallas_upsampler:
+            model = dataclasses.replace(
+                model, wg=dataclasses.replace(model.wg, use_pallas_upsampler=True)
+            )
+        return cls(capacity=capacity, model=model, **kw)
 
     @property
     def spec(self) -> VersionSpec:

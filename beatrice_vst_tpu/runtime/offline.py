@@ -102,11 +102,18 @@ def build_cond(cfg: VoiceConverterConfig, bank, settings: ConversionSettings,
 
 def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
                       sample_rate: float, settings: ConversionSettings = None,
-                      out_sample_rate: float = None, compute_dtype=None):
+                      out_sample_rate: float = None, compute_dtype=None,
+                      chunk_frames: int = 0):
     """Convert one utterance (or a batch) offline.
 
     audio: [n] or [B, n] at `sample_rate`.  Returns converted audio at
     `out_sample_rate` (default: the input rate), numpy float32.
+
+    chunk_frames > 0 processes the utterance in fixed-size chunks with the
+    streaming state carried between them -- bounded memory for arbitrarily
+    long audio.  This carry handoff is the framework's sequence-parallel
+    story (SURVEY.md 2.6): temporal dependence is O(1) state, so sequence
+    shards chain by passing the carry, no ring attention required.
     """
     settings = settings or ConversionSettings()
     out_sample_rate = out_sample_rate or sample_rate
@@ -129,7 +136,20 @@ def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
 
     cond = build_cond(cfg, bank, settings, batch=b)
     state = chain.init_state(cfg, (b,))
-    y24, _ = chain.apply(params, cfg, x16, state, cond, compute_dtype=compute_dtype)
+    if chunk_frames and chunk_frames < t:
+        n_pad_frames = (-t) % chunk_frames
+        if n_pad_frames:
+            x16 = jnp.pad(x16, ((0, 0), (0, n_pad_frames * IN_HOP_LENGTH)))
+        parts = []
+        for c in range(x16.shape[-1] // (chunk_frames * IN_HOP_LENGTH)):
+            seg = x16[:, c * chunk_frames * IN_HOP_LENGTH:(c + 1) * chunk_frames * IN_HOP_LENGTH]
+            y_seg, state = chain.apply(
+                params, cfg, seg, state, cond, compute_dtype=compute_dtype
+            )
+            parts.append(y_seg)
+        y24 = jnp.concatenate(parts, axis=-1)[:, : t * OUT_HOP_LENGTH]
+    else:
+        y24, _ = chain.apply(params, cfg, x16, state, cond, compute_dtype=compute_dtype)
 
     if out_sample_rate != 24000:
         rs_out = make_resampler(24000, out_sample_rate, _block_for(24000, out_sample_rate))

@@ -1,0 +1,155 @@
+"""ModelHost: the deployment control plane (model load/swap + sessions).
+
+Reference semantics being reproduced (SURVEY.md 3.2): a model (re)load
+happens off the audio thread while processing emits silence
+(`src/vst/processor.cc:129-141`), the new core is constructed, weights
+loaded, and then *every* parameter is replayed into it
+(`ProcessorProxy::SyncAllParameters`, processor_proxy.cc:44-56).
+
+Batched equivalent: a ModelHost owns one StreamEngine + StreamingServer
+for the currently loaded model.  `load_model()` builds the new engine,
+re-opens every client session on it, rebinds each session's parameter
+proxy (schema replay restores all per-stream controls), and swaps
+atomically.  Client sessions keep their identity and parameter state;
+in-flight audio during the swap is dropped (silence), matching the
+reference's behavior.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import jax
+
+from ..errors import BeatriceError, ErrorCode
+from ..models import chain
+from ..models.io import load_model_dir
+from ..params import ParameterID, ProcessorProxy
+from .engine import EngineConfig, StreamEngine
+from .handle import StreamHandle
+from .server import StreamingServer
+
+
+class ClientSession:
+    """One client: audio session + full parameter surface (proxy)."""
+
+    def __init__(self, host: "ModelHost", session_id: int, sample_rate: float):
+        self.host = host
+        self.session_id = session_id
+        self.sample_rate = sample_rate
+        self.stream = None  # StreamSession on the current server
+        self.proxy = ProcessorProxy(self._core_factory)
+
+    def _core_factory(self, config):
+        return StreamHandle(self.host.engine, self.stream.idx)
+
+    # -- client API --
+
+    def set_parameter(self, param_id, value) -> ErrorCode:
+        if int(param_id) == int(ParameterID.MODEL):
+            # model loads route through the host (engine-level swap)
+            return self.host.load_model(str(value), initiator=self)
+        return self.proxy.set_parameter(param_id, value)
+
+    def push(self, audio):
+        self.stream.push(audio)
+
+    def pull(self, n):
+        return self.stream.pull(n)
+
+    def state_bytes(self) -> bytes:
+        return self.proxy.state_bytes()
+
+    def restore_state_bytes(self, blob: bytes) -> ErrorCode:
+        return self.proxy.restore_state_bytes(blob)
+
+    def close(self):
+        self.host.close_session(self)
+
+
+class ModelHost:
+    def __init__(self, capacity: int, compute_dtype: str | None = None,
+                 realtime: bool = True, jit: bool = True):
+        self.capacity = capacity
+        self.compute_dtype = compute_dtype
+        self.realtime = realtime
+        self.jit = jit
+        self.engine: StreamEngine | None = None
+        self.server: StreamingServer | None = None
+        self.model_config = None
+        self.sessions: dict[int, ClientSession] = {}
+        self._next_id = 0
+        self._lock = threading.Lock()
+
+    @property
+    def loaded(self) -> bool:
+        return self.engine is not None
+
+    def open_session(self, sample_rate: float = 48000.0) -> ClientSession:
+        with self._lock:
+            s = ClientSession(self, self._next_id, sample_rate)
+            self._next_id += 1
+            self.sessions[s.session_id] = s
+            if self.server is not None:
+                s.stream = self.server.open_session(sample_rate)
+                self._bind(s)
+            return s
+
+    def _bind(self, s: ClientSession) -> None:
+        """(Re)bind the proxy to the live engine and replay parameters."""
+        s.proxy.core = StreamHandle(self.engine, s.stream.idx)
+        if self.model_config is not None:
+            s.proxy.core.model_config = self.model_config
+        s.proxy.sync_all_parameters()
+
+    def close_session(self, s: ClientSession) -> None:
+        with self._lock:
+            self.sessions.pop(s.session_id, None)
+            if s.stream is not None:
+                s.stream.close()
+                s.stream = None
+
+    def load_model(self, model_path: str, initiator: ClientSession | None = None
+                   ) -> ErrorCode:
+        """Build the new engine off the tick thread, then swap + replay."""
+        try:
+            config, model_cfg, params, bank = load_model_dir(model_path)
+        except BeatriceError as e:
+            return e.code
+        cfg = EngineConfig(
+            capacity=self.capacity, model=model_cfg,
+            compute_dtype=self.compute_dtype,
+        )
+        new_engine = StreamEngine(cfg, params, bank, jit=self.jit)
+        new_server = StreamingServer(new_engine, realtime=self.realtime)
+
+        with self._lock:
+            old_server = self.server
+            if old_server is not None:
+                old_server.stop()
+            self.engine = new_engine
+            self.server = new_server
+            self.model_config = config
+            if initiator is not None:
+                initiator.proxy.parameter_state.set_value(
+                    ParameterID.MODEL, str(model_path)
+                )
+            for s in self.sessions.values():
+                s.stream = new_server.open_session(s.sample_rate)
+                self._bind(s)
+            if self.realtime:
+                new_server.start()
+        return ErrorCode.SUCCESS
+
+    def tick_once(self):
+        """Manual scheduler tick (when realtime=False)."""
+        if self.server is not None:
+            self.server.tick_once()
+
+    def metrics(self) -> dict:
+        return self.server.metrics() if self.server else {}
+
+    def stop(self):
+        with self._lock:
+            if self.server is not None:
+                self.server.stop()
