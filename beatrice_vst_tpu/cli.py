@@ -164,6 +164,15 @@ def main(argv=None):
     pt.add_argument("--output", default=None)
     pt.set_defaults(fn=cmd_train)
 
+    ps = sub.add_parser("serve", help="TCP streaming voice-conversion server")
+    ps.add_argument("--model", required=True)
+    ps.add_argument("--port", type=int, default=7777)
+    ps.add_argument("--capacity", type=int, default=64)
+    ps.add_argument("--dtype", default=None, choices=[None, "bfloat16"], nargs="?")
+    ps.set_defaults(fn=lambda a: __import__(
+        "beatrice_vst_tpu.runtime.netserver", fromlist=["serve"]
+    ).serve(a.model, a.port, a.capacity, a.dtype))
+
     pp = sub.add_parser("parity", help="streaming-vs-offline parity gate")
     pp.add_argument("--version", default="2.0.0-rc.0",
                     choices=["2.0.0-alpha.2", "2.0.0-beta.1", "2.0.0-rc.0"])

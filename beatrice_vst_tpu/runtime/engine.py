@@ -182,6 +182,12 @@ def engine_tick(params, bank, state, audio48, *, cfg: EngineConfig):
     rs_out = output_resampler_24k_to_48k(cfg.frames_per_tick)
     c = state["controls"]
 
+    # ingest sanitization: a client feeding NaN/inf or absurd amplitudes
+    # must only ever hurt its own stream -- and not even that beyond the
+    # current block (state would otherwise hold NaN forever).  Mirrors the
+    # reference's defensive fill-zero stance (processor_core.h:95-104).
+    audio48 = jnp.clip(jnp.nan_to_num(audio48, nan=0.0, posinf=0.0, neginf=0.0),
+                       -4.0, 4.0)
     x, gain_in_db = gain_process(
         audio48, state["gain_in_db"], c["input_gain_db"], 48000.0
     )

@@ -1,0 +1,93 @@
+"""Per-stream fault isolation: a hostile stream never affects the batch
+(SURVEY.md section 5.3: 'a bad stream mutes itself, never the batch')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from beatrice_vst_tpu.constants import V20A2
+from beatrice_vst_tpu.models import chain
+from beatrice_vst_tpu.runtime import EngineConfig, StreamEngine
+from beatrice_vst_tpu.speakers import bank as bank_mod
+
+
+def make_engine(cap=3):
+    cfg = EngineConfig.realtime(cap, V20A2)
+    params = chain.init(jax.random.PRNGKey(0), cfg.model)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20A2, 3)
+    return StreamEngine(cfg, params, bank, jit=False)
+
+
+def tone_blocks(n_blocks, cap, poison_idx=None, poison_kind="nan"):
+    t = np.arange(n_blocks * 480) / 48000
+    x = np.tile((0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), (cap, 1))
+    if poison_idx is not None:
+        if poison_kind == "nan":
+            x[poison_idx] = np.nan
+        elif poison_kind == "inf":
+            x[poison_idx, ::7] = np.inf
+        else:
+            x[poison_idx] *= 1e30
+    return x
+
+
+def test_nan_stream_does_not_poison_neighbors():
+    eng = make_engine()
+    for _ in range(3):
+        eng.admit()
+    blocks = 20
+    clean = tone_blocks(blocks, 3)
+    poisoned = tone_blocks(blocks, 3, poison_idx=1, poison_kind="nan")
+
+    ref_out = []
+    out = []
+    eng2 = make_engine()
+    for _ in range(3):
+        eng2.admit()
+    for b in range(blocks):
+        o1 = np.asarray(eng.tick(jnp.asarray(poisoned[:, b * 480:(b + 1) * 480])))
+        o2 = np.asarray(eng2.tick(jnp.asarray(clean[:, b * 480:(b + 1) * 480])))
+        out.append(o1)
+        ref_out.append(o2)
+    out = np.concatenate(out, axis=1)
+    ref = np.concatenate(ref_out, axis=1)
+    # neighbors bit-identical to the clean run
+    np.testing.assert_array_equal(out[0], ref[0])
+    np.testing.assert_array_equal(out[2], ref[2])
+    # the poisoned stream itself stays finite (input sanitized to silence)
+    assert np.isfinite(out[1]).all()
+
+
+def test_inf_and_huge_amplitude_stay_finite():
+    for kind in ("inf", "huge"):
+        eng = make_engine(2)
+        eng.admit()
+        eng.admit()
+        x = tone_blocks(6, 2, poison_idx=0, poison_kind=kind)
+        outs = []
+        for b in range(6):
+            outs.append(np.asarray(eng.tick(jnp.asarray(x[:, b * 480:(b + 1) * 480]))))
+        out = np.concatenate(outs, axis=1)
+        assert np.isfinite(out).all(), kind
+        assert np.abs(out).max() <= 1.0
+
+
+def test_poisoned_stream_recovers_after_clean_input():
+    """After the hostile input stops, the stream must produce normal audio
+    again (no NaN persisted in its state)."""
+    eng = make_engine(1)
+    eng.admit()
+    bad = np.full((1, 480), np.nan, np.float32)
+    for _ in range(5):
+        eng.tick(jnp.asarray(bad))
+    # state must be finite
+    for leaf in jax.tree_util.tree_leaves(eng.state["model"]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert bool(jnp.isfinite(leaf).all())
+    good = tone_blocks(25, 1)
+    outs = []
+    for b in range(25):
+        outs.append(np.asarray(eng.tick(jnp.asarray(good[:, b * 480:(b + 1) * 480]))))
+    out = np.concatenate(outs, axis=1)
+    assert np.isfinite(out).all()
+    assert np.abs(out[:, -4800:]).max() > 0  # audible again
