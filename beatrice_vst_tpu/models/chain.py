@@ -103,9 +103,16 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         params["phone"], cfg.phone, audio16, state["phone"], compute_dtype
     )
     if spec.has_vq:
-        phone = phone_extractor.vq_knn_smooth(
-            phone, cond["codebook"], cond["vq_num_neighbors"]
-        )
+        if "codebook_bank" in cond:
+            # shared-bank formulation: no per-stream [K, C] materialization
+            phone = phone_extractor.vq_knn_smooth_bank(
+                phone, cond["codebook_bank"], cond["codebook_idx"],
+                cond["vq_num_neighbors"],
+            )
+        else:
+            phone = phone_extractor.vq_knn_smooth(
+                phone, cond["codebook"], cond["vq_num_neighbors"]
+            )
 
     qp_raw, pitch_feats, pitch_state = pitch_estimator.apply(
         params["pitch"], cfg.pitch, audio16, state["pitch"],

@@ -134,5 +134,47 @@ def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8):
     return out.astype(phone.dtype)
 
 
+def vq_knn_smooth_bank(phone, bank_codebooks, codebook_idx, num_neighbors,
+                       max_neighbors: int = 8):
+    """k-NN phone smoothing against a *shared* codebook bank.
+
+    phone: [B, T, C]; bank_codebooks: [S, K, C] (the whole model's
+    codebooks); codebook_idx: [B] int speaker selection; num_neighbors:
+    [B] int, 0 = passthrough.
+
+    Equivalent to gathering each stream's [K, C] codebook and calling
+    vq_knn_smooth, but never materializes the [B, K, C] per-stream copy:
+    distances come from ONE [B, C] x [C, S*K] matmul against the bank
+    (read once, ~2 MB, vs a [B, K, C] gather costing K*C bytes *per
+    stream*), and the per-stream block is selected by index arithmetic.
+    Used by the engine when S*K stays small enough that the [B, S*K]
+    logits are cheaper than the gather (runtime/engine.py).
+    """
+    s, k_entries, c = bank_codebooks.shape
+    b, t = phone.shape[:2]
+    flat = bank_codebooks.reshape(s * k_entries, c)
+    c2_flat = jnp.einsum("kc,kc->k", flat, flat,
+                         preferred_element_type=jnp.float32)  # [S*K]
+    pc_all = jnp.einsum("btc,kc->btk", phone.astype(flat.dtype), flat,
+                        preferred_element_type=jnp.float32)  # [B, T, S*K]
+    offsets = codebook_idx.astype(jnp.int32) * k_entries  # [B]
+    sel = offsets[:, None] + jnp.arange(k_entries)  # [B, K]
+    c2 = c2_flat[sel]  # [B, K]
+    pc = jnp.take_along_axis(pc_all, sel[:, None, :], axis=-1)  # [B, T, K]
+    dist = c2[:, None, :] - 2.0 * pc
+    neg = -dist
+    n = num_neighbors[:, None, None].astype(jnp.int32)
+    acc = jnp.zeros((b, t, c), jnp.float32)
+    for rank in range(max_neighbors):
+        i = jnp.argmax(neg, axis=-1)  # [B, T] in-block index
+        oh = jax.nn.one_hot(i, k_entries, dtype=dist.dtype)
+        neg = jnp.where(oh > 0, -jnp.inf, neg)
+        rows = flat[offsets[:, None] + i].astype(jnp.float32)  # [B, T, C]
+        acc = acc + jnp.where(rank < n, rows, 0.0)
+    denom = jnp.maximum(n.astype(jnp.float32), 1.0)
+    out = jnp.where(n > 0, acc / denom, phone.astype(jnp.float32))
+    return out.astype(phone.dtype)
+
+
 def receptive_field_frames(cfg: PhoneExtractorConfig) -> int:
     return sum((cfg.kernel - 1) * d for d in cfg.dilations) + 1

@@ -171,7 +171,11 @@ def _build_cond(cfg: EngineConfig, bank, state):
         cond["kv_cache"] = state["kv_cache"]
     if cfg.spec.has_vq:
         # one codebook per stream per tick (per-frame lottery when T == 1,
-        # which is the real-time configuration; see morpher.codebook_lottery)
+        # which is the real-time configuration; see morpher.codebook_lottery).
+        # NOTE: a shared-bank formulation (vq_knn_smooth_bank, no [B, K, C]
+        # gather) exists but measured 4-6x SLOWER on v5e -- the [B, S*K]
+        # logits and flat-index gathers cost more than the codebook gather.
+        # Kept opt-in for future hardware via cond["codebook_bank"].
         cond["codebook"] = bank["codebook"][cb_idx]
     return cond
 
