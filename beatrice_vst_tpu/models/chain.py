@@ -111,7 +111,8 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
             )
         else:
             phone = phone_extractor.vq_knn_smooth(
-                phone, cond["codebook"], cond["vq_num_neighbors"]
+                phone, cond["codebook"], cond["vq_num_neighbors"],
+                codebook_scale=cond.get("codebook_scale"),
             )
 
     qp_raw, pitch_feats, pitch_state = pitch_estimator.apply(

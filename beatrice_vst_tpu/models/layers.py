@@ -179,6 +179,40 @@ def cross_attention_cached(params, x, k, v, compute_dtype=None):
     return x + o.astype(x.dtype)
 
 
+def quantize_rows(x, axis: int = -1):
+    """Symmetric int8 quantization with a per-row scale along `axis`.
+
+    Returns (q int8, scale f32 with `axis` reduced to 1).  Used for the
+    bandwidth-bound conditioning tensors (KV cache, VQ codebooks): the
+    scale is folded outside the contraction at use time, so consumers read
+    int8 bytes and never materialize a dequantized copy.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def cross_attention_cached_q(params, x, k_q, k_scale, v_q, v_scale,
+                             compute_dtype=None):
+    """cross_attention_cached with int8 K/V + per-row scales.
+
+    scores_l = scale_l * (q . K_q[l]); out_a = sum_l (w_l * scale_l) V_q[l,a]
+    -- the per-row scales commute with the contractions, so the int8
+    tensors feed the dots directly (half the HBM bytes of bf16)."""
+    h = layer_norm(params["ln"], x)
+    q = linear(params["q"], h, compute_dtype)  # [B, T, A]
+    a = q.shape[-1]
+    kq = k_q.astype(q.dtype)
+    scores = jnp.einsum("bta,bla->btl", q, kq) / math.sqrt(a)
+    scores = scores * k_scale[..., 0][:, None, :]  # [B, 1->T, L]
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    wv = (w * v_scale[..., 0][:, None, :]).astype(q.dtype)
+    o = jnp.einsum("btl,bla->bta", wv, v_q.astype(q.dtype))
+    o = linear(params["o"], o, compute_dtype)
+    return x + o.astype(x.dtype)
+
+
 def cross_attention(params, x, kv, compute_dtype=None):
     """Per-frame cross-attention to a per-stream speaker KV bank.
 

@@ -95,7 +95,8 @@ def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None):
     return phone, {"audio": new_audio_hist, "blocks": new_block_states}
 
 
-def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8):
+def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8,
+                  codebook_scale=None):
     """k-NN phone smoothing against a per-stream VQ codebook.
 
     phone: [B, T, C]; codebook: [B, K, C]; num_neighbors: [B] int in
@@ -106,13 +107,24 @@ def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8):
     batched matmul [B,T,C] x [B,C,K]; top-k is static at max_neighbors with
     a mask for per-stream n, so the whole batch shares one program.
     """
-    # accumulate in f32 but keep inputs in their storage dtype (bf16 banks
-    # halve the dominant [B, K, C] read traffic)
+    # accumulate in f32 but keep inputs in their storage dtype (bf16/int8
+    # banks halve/quarter the dominant [B, K, C] read traffic); per-row
+    # int8 scales commute with the contractions, so they apply afterwards
     k_entries = codebook.shape[-2]
-    c2 = jnp.einsum("bkc,bkc->bk", codebook, codebook,
+    if codebook.dtype == jnp.int8:
+        cb = codebook.astype(jnp.bfloat16)
+        query = phone.astype(jnp.bfloat16)
+    else:
+        cb = codebook
+        query = phone.astype(codebook.dtype)
+    c2 = jnp.einsum("bkc,bkc->bk", cb, cb,
                     preferred_element_type=jnp.float32)  # [B, K]
-    pc = jnp.einsum("btc,bkc->btk", phone.astype(codebook.dtype), codebook,
+    pc = jnp.einsum("btc,bkc->btk", query, cb,
                     preferred_element_type=jnp.float32)
+    if codebook_scale is not None:
+        s = codebook_scale[..., 0]  # [B, K]
+        c2 = c2 * (s * s)
+        pc = pc * s[:, None, :]
     dist = c2[:, None, :] - 2.0 * pc  # ||p||^2 constant per query: omit
     # top-n selection as iterated argmax + one-hot accumulation: on TPU
     # this is ~8x faster than lax.top_k's sort and feeds a matmul mean
@@ -126,8 +138,11 @@ def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8):
         neg = jnp.where(oh > 0, -jnp.inf, neg)  # (not -= inf*oh: 0*inf=NaN)
         onehot_sum = onehot_sum + jnp.where(rank < n, oh, 0.0)
     denom = jnp.maximum(n.astype(jnp.float32), 1.0)
+    weights = onehot_sum
+    if codebook_scale is not None:
+        weights = weights * codebook_scale[..., 0][:, None, :]
     smoothed = jnp.einsum(
-        "btk,bkc->btc", onehot_sum.astype(codebook.dtype), codebook,
+        "btk,bkc->btc", weights.astype(cb.dtype), cb,
         preferred_element_type=jnp.float32,
     ) / denom
     out = jnp.where(n > 0, smoothed, phone.astype(jnp.float32))

@@ -180,7 +180,7 @@ def project_kv(params, cfg: WaveformGeneratorConfig, kv_embedding,
         k, v = layers.cross_attention_project_kv(p["attn"], kv_embedding, compute_dtype)
         ks.append(k)
         vs.append(v)
-    return jnp.stack(ks, axis=-3), jnp.stack(vs, axis=-3)
+    return {"k": jnp.stack(ks, axis=-3), "v": jnp.stack(vs, axis=-3)}
 
 
 def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
@@ -215,10 +215,18 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
         h, ns = layers.conv_block(p["conv"], h, s, 1, compute_dtype)
         if cfg.use_kv_attention:
             if kv_cache is not None:
-                h = layers.cross_attention_cached(
-                    p["attn"], h, kv_cache[0][:, i], kv_cache[1][:, i],
-                    compute_dtype,
-                )
+                if "k_scale" in kv_cache:  # int8 + per-row scales
+                    h = layers.cross_attention_cached_q(
+                        p["attn"], h,
+                        kv_cache["k"][:, i], kv_cache["k_scale"][:, i],
+                        kv_cache["v"][:, i], kv_cache["v_scale"][:, i],
+                        compute_dtype,
+                    )
+                else:
+                    h = layers.cross_attention_cached(
+                        p["attn"], h, kv_cache["k"][:, i], kv_cache["v"][:, i],
+                        compute_dtype,
+                    )
             elif kv_embedding is not None:
                 h = layers.cross_attention(p["attn"], h, kv_embedding, compute_dtype)
             else:

@@ -26,11 +26,26 @@ def test_cached_equals_uncached_chain():
 
     cond2 = dict(cond)
     del cond2["kv"]
-    cond2["kv_cache"] = waveform_generator.project_kv(params["wg"], cfg.wg, kv)
+    cache = waveform_generator.project_kv(params["wg"], cfg.wg, kv)
+    cond2["kv_cache"] = cache
     out_cached, _ = chain.apply(params, cfg, audio, chain.init_state(cfg, (b,)), cond2)
     np.testing.assert_allclose(
         np.asarray(out_cached), np.asarray(out_raw), rtol=1e-5, atol=1e-6
     )
+
+    # int8-quantized cache stays close to the f32 path (per-row scales)
+    from beatrice_vst_tpu.models.layers import quantize_rows
+
+    qcache = {}
+    for name in ("k", "v"):
+        q, s = quantize_rows(cache[name])
+        qcache[name] = q
+        qcache[f"{name}_scale"] = s
+    cond3 = dict(cond2)
+    cond3["kv_cache"] = qcache
+    out_q, _ = chain.apply(params, cfg, audio, chain.init_state(cfg, (b,)), cond3)
+    err = np.abs(np.asarray(out_q) - np.asarray(out_raw))
+    assert err.max() < 0.05, err.max()  # bounded quantization deviation
 
 
 def test_engine_refreshes_cache_on_speaker_change():
@@ -41,13 +56,13 @@ def test_engine_refreshes_cache_on_speaker_change():
     eng = StreamEngine(cfg, params, bank, jit=False)
     idx = eng.admit()
     eng.flush_controls()
-    k0 = np.asarray(eng.state["kv_cache"][0][idx])
+    k0 = np.asarray(eng.state["kv_cache"]["k"][idx])
     assert np.abs(k0).max() > 0  # admit primed the cache
     # changing speaker refreshes the slot with different projections
     eng.set_control(idx, "target_speaker", np.int32(2))
     eng.flush_controls()
-    k1 = np.asarray(eng.state["kv_cache"][0][idx])
+    k1 = np.asarray(eng.state["kv_cache"]["k"][idx])
     assert not np.allclose(k0, k1)
     # the other slot (never admitted) stays zero
     other = 1 - idx
-    assert np.abs(np.asarray(eng.state["kv_cache"][0][other])).max() == 0
+    assert np.abs(np.asarray(eng.state["kv_cache"]["k"][other])).max() == 0
