@@ -8,6 +8,7 @@ resamplers.  Used by the CLI, the golden-parity harness, and benchmarks.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -100,6 +101,22 @@ def build_cond(cfg: VoiceConverterConfig, bank, settings: ConversionSettings,
     return cond
 
 
+@functools.cache
+def _jitted_apply(cfg: VoiceConverterConfig, compute_dtype):
+    """Cached jit of the chain forward (eager op-by-op execution is
+    catastrophic on remote backends -- one dispatch per op)."""
+    return jax.jit(
+        lambda params, audio16, state, cond: chain.apply(
+            params, cfg, audio16, state, cond, compute_dtype=compute_dtype
+        )
+    )
+
+
+@functools.cache
+def _jitted_resample(rs):
+    return jax.jit(rs.apply_offline)
+
+
 def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
                       sample_rate: float, settings: ConversionSettings = None,
                       out_sample_rate: float = None, compute_dtype=None,
@@ -126,7 +143,7 @@ def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
     # edge resampling to the model rates
     if sample_rate != 16000:
         rs = make_resampler(sample_rate, 16000, _block_for(sample_rate, 16000))
-        x16 = rs.apply_offline(x)
+        x16 = _jitted_resample(rs)(x)
     else:
         x16 = x
     # pad to whole frames
@@ -141,19 +158,18 @@ def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
         if n_pad_frames:
             x16 = jnp.pad(x16, ((0, 0), (0, n_pad_frames * IN_HOP_LENGTH)))
         parts = []
+        fn = _jitted_apply(cfg, compute_dtype)
         for c in range(x16.shape[-1] // (chunk_frames * IN_HOP_LENGTH)):
             seg = x16[:, c * chunk_frames * IN_HOP_LENGTH:(c + 1) * chunk_frames * IN_HOP_LENGTH]
-            y_seg, state = chain.apply(
-                params, cfg, seg, state, cond, compute_dtype=compute_dtype
-            )
+            y_seg, state = fn(params, seg, state, cond)
             parts.append(y_seg)
         y24 = jnp.concatenate(parts, axis=-1)[:, : t * OUT_HOP_LENGTH]
     else:
-        y24, _ = chain.apply(params, cfg, x16, state, cond, compute_dtype=compute_dtype)
+        y24, _ = _jitted_apply(cfg, compute_dtype)(params, x16, state, cond)
 
     if out_sample_rate != 24000:
         rs_out = make_resampler(24000, out_sample_rate, _block_for(24000, out_sample_rate))
-        y = rs_out.apply_offline(y24)
+        y = _jitted_resample(rs_out)(y24)
     else:
         y = y24
     y = np.asarray(y, np.float32)
