@@ -120,18 +120,23 @@ def _jitted_resample(rs):
 def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
                       sample_rate: float, settings: ConversionSettings = None,
                       out_sample_rate: float = None, compute_dtype=None,
-                      chunk_frames: int = 0):
+                      chunk_frames: int = None):
     """Convert one utterance (or a batch) offline.
 
     audio: [n] or [B, n] at `sample_rate`.  Returns converted audio at
     `out_sample_rate` (default: the input rate), numpy float32.
 
     chunk_frames > 0 processes the utterance in fixed-size chunks with the
-    streaming state carried between them -- bounded memory for arbitrarily
-    long audio.  This carry handoff is the framework's sequence-parallel
-    story (SURVEY.md 2.6): temporal dependence is O(1) state, so sequence
-    shards chain by passing the carry, no ring attention required.
+    streaming state carried between them -- bounded memory and a
+    fixed-shape (cached-compile) program for arbitrarily long audio.  This
+    carry handoff is the framework's sequence-parallel story (SURVEY.md
+    2.6): temporal dependence is O(1) state, so sequence shards chain by
+    passing the carry, no ring attention required.  Default (None): auto
+    -- long utterances chunk at 256 frames; chunk_frames=0 forces a single
+    whole-utterance program.
     """
+    if chunk_frames is None:
+        chunk_frames = 256 if audio_longer_than(audio, sample_rate, 384) else 0
     settings = settings or ConversionSettings()
     out_sample_rate = out_sample_rate or sample_rate
     x = jnp.asarray(audio, jnp.float32)
@@ -174,6 +179,11 @@ def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
         y = y24
     y = np.asarray(y, np.float32)
     return y[0] if squeeze else y
+
+
+def audio_longer_than(audio, sample_rate: float, frames: int) -> bool:
+    n = np.shape(audio)[-1]
+    return n / sample_rate > frames * 0.010
 
 
 def _block_for(rate_in: float, rate_out: float) -> int:
