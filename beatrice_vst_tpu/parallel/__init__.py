@@ -3,6 +3,7 @@
 from .mesh import (  # noqa: F401
     MODEL_PARALLEL_RULES,
     distributed_init,
+    force_cpu_host_devices,
     make_mesh,
     params_sharding,
     replicated,

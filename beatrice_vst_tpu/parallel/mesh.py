@@ -36,6 +36,31 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def force_cpu_host_devices(n: int) -> bool:
+    """Best-effort in-process switch to the CPU host platform with >= n
+    virtual devices.  Returns True on success.
+
+    Constraint (jax 0.9): XLA_FLAGS is parsed once at first backend
+    initialization, so this only works if either (a) no backend has been
+    initialized yet, or (b) the flag was already in the environment when
+    the first backend initialized.  Callers that cannot guarantee that
+    must re-exec in a subprocess instead (see __graft_entry__).
+    """
+    import os
+
+    flag = f"--xla_force_host_platform_device_count={n}"
+    if flag not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
+    import jax.extend.backend as jax_backend
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax_backend.clear_backends()
+    except Exception:
+        return False
+    return len(jax.devices()) >= n
+
+
 def distributed_init(coordinator_address=None, num_processes=None, process_id=None):
     """Multi-host bring-up (call once per host before device use)."""
     kwargs = {}

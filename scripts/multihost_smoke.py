@@ -20,11 +20,11 @@ LOCAL_DEVICES = 4
 
 def worker(process_id: int) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
-    ).strip()
+    # NOTE: cannot use force_cpu_host_devices here -- it touches jax.devices,
+    # and jax.distributed.initialize must run before ANY backend use.  Set
+    # the platform via config only (fresh subprocess: nothing initialized).
+    flag = f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
     import jax
     import jax.numpy as jnp
 
