@@ -73,7 +73,10 @@ def load(path: str, spec: VersionSpec):
             bank = {k: jnp.asarray(z[k]) for k in z.files}
         _validate(bank, spec)
         return bank
-    # raw float32: [n, 256] additive embeddings only (20a2/20b1 format)
+    # raw float32: [n, 256] additive embeddings (20a2/20b1 format).  The
+    # reference stores formant-shift embeddings as a sibling raw file of
+    # 9x256 floats loaded alongside (processor_core_0.cc:165-218); honor
+    # the same layout when present.
     raw = np.fromfile(path, dtype=np.float32)
     if raw.size == 0:
         raise BeatriceError(ErrorCode.FILE_TOO_SMALL, path)
@@ -82,10 +85,32 @@ def load(path: str, spec: VersionSpec):
     n = raw.size // HID
     if n > MAX_N_SPEAKERS:
         raise BeatriceError(ErrorCode.FILE_TOO_LARGE, path)
+    sibling = os.path.join(
+        os.path.dirname(path), "formant_shift_embeddings.bin"
+    )
+    formant = (
+        load_raw_formant(sibling)
+        if os.path.exists(sibling)
+        else jnp.zeros((N_FORMANT_SHIFT_EMBEDDINGS, HID))
+    )
     return {
         "additive": jnp.asarray(raw.reshape(n, HID)),
-        "formant": jnp.zeros((N_FORMANT_SHIFT_EMBEDDINGS, HID)),
+        "formant": formant,
     }
+
+
+def load_raw_formant(path: str):
+    """Raw float32 formant-shift embedding file: exactly 9x256 floats
+    (-2..+2 semitones in 0.5 steps, beatrice.h:98-101)."""
+    if not os.path.exists(path):
+        raise BeatriceError(ErrorCode.FILE_OPEN_ERROR, path)
+    raw = np.fromfile(path, dtype=np.float32)
+    want = N_FORMANT_SHIFT_EMBEDDINGS * HID
+    if raw.size < want:
+        raise BeatriceError(ErrorCode.FILE_TOO_SMALL, path)
+    if raw.size > want:
+        raise BeatriceError(ErrorCode.FILE_TOO_LARGE, path)
+    return jnp.asarray(raw.reshape(N_FORMANT_SHIFT_EMBEDDINGS, HID))
 
 
 def _validate(bank, spec: VersionSpec) -> None:

@@ -35,6 +35,28 @@ def test_raw_float32_reader(tmp_path):
     np.testing.assert_array_equal(np.asarray(b["additive"]), raw)
 
 
+def test_raw_reader_sibling_formant_file(tmp_path):
+    raw = np.random.default_rng(0).standard_normal((3, 256)).astype(np.float32)
+    raw.tofile(str(tmp_path / "speaker_embeddings.bin"))
+    formant = np.random.default_rng(1).standard_normal((9, 256)).astype(np.float32)
+    formant.tofile(str(tmp_path / "formant_shift_embeddings.bin"))
+    b = bank_mod.load(str(tmp_path / "speaker_embeddings.bin"), V20A2)
+    np.testing.assert_array_equal(np.asarray(b["formant"]), formant)
+
+
+def test_raw_formant_reader_size_checks(tmp_path):
+    p = str(tmp_path / "formant_shift_embeddings.bin")
+    np.zeros(9 * 256 - 1, np.float32).tofile(p)
+    with pytest.raises(BeatriceError):
+        bank_mod.load_raw_formant(p)
+    np.zeros(9 * 256 + 1, np.float32).tofile(p)
+    with pytest.raises(BeatriceError):
+        bank_mod.load_raw_formant(p)
+    np.arange(9 * 256, dtype=np.float32).tofile(p)
+    got = bank_mod.load_raw_formant(p)
+    assert got.shape == (9, 256)
+
+
 def test_raw_reader_invalid_size(tmp_path):
     p = str(tmp_path / "bad.bin")
     np.zeros(100, np.float32).tofile(p)
