@@ -89,22 +89,41 @@ def cmd_train(args):
 
     from .models import chain as chain_mod
     from .models.io import load_model_dir, save_weights
-    from .training import make_teacher_batcher, train
+    from .training import make_teacher_batcher, train, train_gan
 
     config, model_cfg, params, bank = load_model_dir(args.model)
-    if args.teacher:
-        _, teacher_cfg, teacher_params, teacher_bank = load_model_dir(args.teacher)
-        if teacher_cfg != model_cfg:
-            raise SystemExit("teacher/student configs differ")
+    if args.data:
+        # recorded-pair (or identity-mode) WAV dataset on disk
+        from .training import PairDataset, make_pair_batcher
+
+        ds = PairDataset(args.data)
+        print(f"dataset: {len(ds.items)} utterances, "
+              f"{ds.n_frames_total()} frames"
+              f"{' (identity mode)' if ds.identity_mode else ''}")
+        batches = make_pair_batcher(
+            ds, model_cfg, bank, batch=args.batch, frames=args.frames,
+            seed=args.seed,
+        )
     else:
-        # self-distillation demo target: a differently-seeded frozen teacher
-        teacher_params = chain_mod.init(jax.random.PRNGKey(args.seed + 1), model_cfg)
-        teacher_bank = bank
-    batches = make_teacher_batcher(
-        model_cfg, teacher_params, teacher_bank,
-        batch=args.batch, frames=args.frames, seed=args.seed,
-    )
-    params, history = train(params, model_cfg, batches, steps=args.steps, lr=args.lr)
+        if args.teacher:
+            _, teacher_cfg, teacher_params, teacher_bank = load_model_dir(args.teacher)
+            if teacher_cfg != model_cfg:
+                raise SystemExit("teacher/student configs differ")
+        else:
+            # self-distillation demo target: a differently-seeded frozen teacher
+            teacher_params = chain_mod.init(jax.random.PRNGKey(args.seed + 1), model_cfg)
+            teacher_bank = bank
+        batches = make_teacher_batcher(
+            model_cfg, teacher_params, teacher_bank,
+            batch=args.batch, frames=args.frames, seed=args.seed,
+        )
+    common = dict(steps=args.steps, lr=args.lr, ckpt_dir=args.ckpt_dir,
+                  save_every=args.save_every, resume=args.resume)
+    if args.gan:
+        params, history = train_gan(params, model_cfg, batches,
+                                    seed=args.seed, **common)
+    else:
+        params, history = train(params, model_cfg, batches, **common)
     out = args.output or f"{args.model}/weights.npz"
     save_weights(out, params)
     print(f"trained {args.steps} steps; final loss {history[-1][1]:.4f}; saved {out}")
@@ -162,16 +181,40 @@ def main(argv=None):
     pt.add_argument("--lr", type=float, default=2e-4)
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--output", default=None)
+    pt.add_argument("--data", default=None,
+                    help="WAV-pair dataset dir (inputs/ [+ targets/]); "
+                         "identity mode when targets/ is absent")
+    pt.add_argument("--gan", action="store_true",
+                    help="adversarial training (MPD+MRD + feature matching)")
+    pt.add_argument("--ckpt-dir", default=None,
+                    help="checkpoint directory (params + optimizer state)")
+    pt.add_argument("--save-every", type=int, default=500)
+    pt.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --ckpt-dir")
     pt.set_defaults(fn=cmd_train)
 
-    ps = sub.add_parser("serve", help="TCP streaming voice-conversion server")
+    ps = sub.add_parser("serve", help="streaming voice-conversion server (TCP or WebSocket)")
     ps.add_argument("--model", required=True)
     ps.add_argument("--port", type=int, default=7777)
     ps.add_argument("--capacity", type=int, default=64)
     ps.add_argument("--dtype", default=None, choices=[None, "bfloat16"], nargs="?")
-    ps.set_defaults(fn=lambda a: __import__(
-        "beatrice_vst_tpu.runtime.netserver", fromlist=["serve"]
-    ).serve(a.model, a.port, a.capacity, a.dtype))
+    ps.add_argument("--ws", action="store_true",
+                    help="serve the WebSocket protocol instead of raw TCP")
+    ps.add_argument("--grpc", action="store_true",
+                    help="serve the gRPC protocol instead of raw TCP")
+
+    def _cmd_serve(a):
+        if a.ws:
+            from beatrice_vst_tpu.runtime.wsserver import serve_ws
+            serve_ws(a.model, a.port, a.capacity, a.dtype)
+        elif a.grpc:
+            from beatrice_vst_tpu.runtime.grpcserver import serve_grpc
+            serve_grpc(a.model, a.port, a.capacity, a.dtype)
+        else:
+            from beatrice_vst_tpu.runtime.netserver import serve
+            serve(a.model, a.port, a.capacity, a.dtype)
+
+    ps.set_defaults(fn=_cmd_serve)
 
     pp = sub.add_parser("parity", help="streaming-vs-offline parity gate")
     pp.add_argument("--version", default="2.0.0-rc.0",
