@@ -1,0 +1,163 @@
+"""Training data pipeline: recorded-pair WAV datasets.
+
+The practical path to parity with the closed reference weights is
+distillation on (input, converted-output) pairs recorded from the
+reference plugin offline (SURVEY.md §7 hard parts).  This module turns a
+directory of such recordings into the fixed-shape batches the train steps
+consume:
+
+    data_dir/
+      inputs/<name>.wav    any sample rate (resampled to 16 kHz here)
+      targets/<name>.wav   any sample rate (resampled to 24 kHz here)
+      [speakers.json]      optional {"<name>": speaker_id} map
+
+If `targets/` is absent, the dataset runs in **identity mode**: the target
+is the input resampled to 24 kHz — the self-supervised pre-training task
+(teach the chain to be a transparent codec before distilling conversion
+behavior), usable with any public speech corpus.
+
+Everything here is host-side NumPy (the C++ host-edge polyphase resampler
+when available); batches are static-shape [B, frames*160] / [B, frames*240]
+aligned at the same 10 ms frame grid, so the jitted train step never
+recompiles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import queue as _queue
+
+import numpy as np
+
+from ..audio_io import read_wav
+from ..constants import IN_SAMPLE_RATE, OUT_SAMPLE_RATE
+from ..native.host import HostResampler
+
+
+def _to_rate(audio: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    if rate_in == rate_out:
+        return audio.astype(np.float32)
+    r = HostResampler(float(rate_in), float(rate_out))
+    out = r.process(audio.astype(np.float32))
+    # flush the filter tail so short files don't lose their end
+    tail = r.process(np.zeros(256, np.float32))
+    return np.concatenate([out, tail])
+
+
+class PairDataset:
+    """Loads and caches every utterance in memory (VC corpora are small:
+    minutes-to-hours of 16 kHz mono; a full hour is ~230 MB as float32)."""
+
+    def __init__(self, data_dir: str):
+        in_dir = os.path.join(data_dir, "inputs")
+        tgt_dir = os.path.join(data_dir, "targets")
+        if not os.path.isdir(in_dir):
+            raise FileNotFoundError(f"{in_dir} not found")
+        self.identity_mode = not os.path.isdir(tgt_dir)
+        spk_path = os.path.join(data_dir, "speakers.json")
+        spk_map = {}
+        if os.path.exists(spk_path):
+            with open(spk_path) as f:
+                spk_map = json.load(f)
+        self.items = []  # (audio16, target24, speaker_id)
+        for fn in sorted(os.listdir(in_dir)):
+            if not fn.lower().endswith(".wav"):
+                continue
+            name = os.path.splitext(fn)[0]
+            a, sr = read_wav(os.path.join(in_dir, fn))
+            a16 = _to_rate(a, sr, IN_SAMPLE_RATE)
+            if self.identity_mode:
+                t24 = _to_rate(a, sr, OUT_SAMPLE_RATE)
+            else:
+                tp = os.path.join(tgt_dir, fn)
+                if not os.path.exists(tp):
+                    continue
+                t, tsr = read_wav(tp)
+                t24 = _to_rate(t, tsr, OUT_SAMPLE_RATE)
+            # align to the common frame grid
+            n_frames = min(len(a16) // 160, len(t24) // 240)
+            if n_frames < 2:
+                continue
+            self.items.append(
+                (
+                    a16[: n_frames * 160],
+                    t24[: n_frames * 240],
+                    int(spk_map.get(name, 0)),
+                )
+            )
+        if not self.items:
+            raise ValueError(f"no usable wav pairs under {data_dir}")
+
+    def n_frames_total(self) -> int:
+        return sum(len(a) // 160 for a, _, _ in self.items)
+
+
+def make_pair_batcher(dataset: PairDataset, cfg, bank, *, batch: int,
+                      frames: int, seed: int = 0, prefetch: int = 2):
+    """Yield {audio16, target24, cond} batches of random aligned crops.
+
+    Per-example speaker ids come from speakers.json (so one dataset can
+    hold recordings converted to several target voices); the cond tensor
+    is rebuilt per batch with those ids."""
+    import jax.numpy as jnp
+
+    from ..runtime.offline import ConversionSettings, build_cond
+
+    rng = np.random.default_rng(seed)
+    n16 = frames * 160
+    usable = [i for i, (a, _, _) in enumerate(dataset.items)
+              if len(a) >= n16]
+    if not usable:
+        raise ValueError(f"no utterance has >= {frames} frames")
+
+    def make_batch():
+        a_out = np.zeros((batch, frames * 160), np.float32)
+        t_out = np.zeros((batch, frames * 240), np.float32)
+        spk = np.zeros((batch,), np.int32)
+        for b in range(batch):
+            a, t, sid = dataset.items[usable[rng.integers(len(usable))]]
+            f_max = len(a) // 160 - frames
+            f0 = int(rng.integers(f_max + 1))
+            a_out[b] = a[f0 * 160: (f0 + frames) * 160]
+            t_out[b] = t[f0 * 240: (f0 + frames) * 240]
+            spk[b] = sid
+        conds = []
+        for b in range(batch):
+            conds.append(build_cond(
+                cfg, bank, ConversionSettings(target_speaker=int(spk[b])),
+                batch=1,
+            ))
+        import jax
+
+        cond = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *conds
+        )
+        return {
+            "audio16": jnp.asarray(a_out),
+            "target24": jnp.asarray(t_out),
+            "cond": cond,
+        }
+
+    if prefetch <= 0:
+        while True:
+            yield make_batch()
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            try:
+                q.put(make_batch(), timeout=1.0)
+            except _queue.Full:
+                continue
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()

@@ -55,13 +55,27 @@ def make_teacher_batcher(cfg, teacher_params, bank, *, batch: int, frames: int,
 
 
 def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
-          log_every: int = 10, log_fn=print):
-    """Run `steps` of distillation; returns (params, history)."""
+          log_every: int = 10, log_fn=print, ckpt_dir: str | None = None,
+          save_every: int = 500, resume: bool = False):
+    """Run `steps` of distillation; returns (params, history).
+
+    With `ckpt_dir`, the full training pytree (params + optimizer state +
+    step) is checkpointed every `save_every` steps and on exit;
+    `resume=True` continues from the latest checkpoint."""
+    from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+
     optimizer = make_optimizer(lr)
     opt_state = optimizer.init(params)
+    start = 0
+    if resume and ckpt_dir and latest_step(ckpt_dir) is not None:
+        start, (params, opt_state) = restore_checkpoint(
+            ckpt_dir, (params, opt_state)
+        )
+        log_fn(f"resumed from step {start}")
     history = []
     t0 = time.time()
-    for step, batch in zip(range(steps), batches):
+    step = start
+    for step, batch in zip(range(start, steps), batches):
         params, opt_state, metrics = train_step(
             params, opt_state, batch, cfg=cfg, optimizer=optimizer
         )
@@ -73,4 +87,60 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
                 f"(stft {float(metrics['stft']):.4f}, l1 {float(metrics['l1']):.4f}) "
                 f"[{time.time() - t0:.1f}s]"
             )
+        if ckpt_dir and step and step % save_every == 0:
+            save_checkpoint(ckpt_dir, step, (params, opt_state))
+    if ckpt_dir and steps > start:
+        save_checkpoint(ckpt_dir, step + 1, (params, opt_state))
+    return params, history
+
+
+def train_gan(params, cfg, batches, *, steps: int, lr: float = 2e-4,
+              seed: int = 0, log_every: int = 10, log_fn=print,
+              ckpt_dir: str | None = None, save_every: int = 500,
+              resume: bool = False, compute_dtype=None):
+    """Adversarial training (MPD+MRD least-squares GAN + feature matching
+    on top of the reconstruction objective).  Returns (params, history);
+    discriminators live only in the checkpoint."""
+    from . import discriminator
+    from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+    from .gan import gan_train_step, make_gan_optimizers
+
+    disc_params = discriminator.init(jax.random.PRNGKey(seed))
+    gen_opt, disc_opt = make_gan_optimizers(lr)
+    gen_opt_state = gen_opt.init(params)
+    disc_opt_state = disc_opt.init(disc_params)
+    start = 0
+    tree = (params, disc_params, gen_opt_state, disc_opt_state)
+    if resume and ckpt_dir and latest_step(ckpt_dir) is not None:
+        start, tree = restore_checkpoint(ckpt_dir, tree)
+        log_fn(f"resumed from step {start}")
+    params, disc_params, gen_opt_state, disc_opt_state = tree
+    history = []
+    t0 = time.time()
+    step = start
+    for step, batch in zip(range(start, steps), batches):
+        (params, disc_params, gen_opt_state, disc_opt_state,
+         metrics) = gan_train_step(
+            params, disc_params, gen_opt_state, disc_opt_state, batch,
+            cfg=cfg, gen_opt=gen_opt, disc_opt=disc_opt,
+            compute_dtype=compute_dtype,
+        )
+        if step % log_every == 0 or step == steps - 1:
+            g = float(metrics["g_loss"])
+            history.append((step, g))
+            log_fn(
+                f"step {step}: g {g:.4f} d {float(metrics['d_loss']):.4f} "
+                f"(rec {float(metrics['rec']):.4f}, fm {float(metrics['fm']):.4f}, "
+                f"adv {float(metrics['adv']):.4f}) [{time.time() - t0:.1f}s]"
+            )
+        if ckpt_dir and step and step % save_every == 0:
+            save_checkpoint(
+                ckpt_dir, step,
+                (params, disc_params, gen_opt_state, disc_opt_state),
+            )
+    if ckpt_dir and steps > start:
+        save_checkpoint(
+            ckpt_dir, step + 1,
+            (params, disc_params, gen_opt_state, disc_opt_state),
+        )
     return params, history

@@ -64,6 +64,39 @@ def test_sharded_engine_tick_matches_single_device():
     assert len(out.sharding.device_set) == 8
 
 
+def test_sharded_gan_train_step():
+    """The adversarial train step runs data-parallel over the mesh (same
+    batch contract as the distillation step the dryrun exercises)."""
+    from beatrice_vst_tpu.training import discriminator
+    from beatrice_vst_tpu.training.gan import gan_train_step, make_gan_optimizers
+    from beatrice_vst_tpu.runtime.offline import ConversionSettings, build_cond
+
+    spec = V20A2
+    cfg = chain.VoiceConverterConfig.for_version(spec)
+    params = chain.init(jax.random.PRNGKey(0), cfg)
+    disc = discriminator.init(jax.random.PRNGKey(1))
+    bank = bank_mod.random_bank(jax.random.PRNGKey(2), spec, 2)
+    gen_opt, disc_opt = make_gan_optimizers(1e-4)
+    gen_os, disc_os = gen_opt.init(params), disc_opt.init(disc)
+
+    b, t = 8, 4
+    mesh = make_mesh(streams=8, model=1)
+    batch = {
+        "audio16": jnp.zeros((b, t * 160), jnp.float32),
+        "target24": jnp.zeros((b, t * 240), jnp.float32),
+        "cond": build_cond(cfg, bank, ConversionSettings(target_speaker=0), batch=b),
+    }
+    batch = shard_tree(batch, state_sharding(batch, mesh))
+    with mesh:
+        params, disc, gen_os, disc_os, metrics = gan_train_step(
+            params, disc, gen_os, disc_os, batch,
+            cfg=cfg, gen_opt=gen_opt, disc_opt=disc_opt,
+        )
+        jax.block_until_ready(metrics["g_loss"])
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 

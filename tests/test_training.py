@@ -24,6 +24,109 @@ def test_stft_loss_zero_for_identical():
     assert float(multi_resolution_stft_loss(x, y)) > 0.1
 
 
+def test_discriminator_shapes_and_grads():
+    from beatrice_vst_tpu.training import discriminator
+
+    d = discriminator.init(jax.random.PRNGKey(0))
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1920)), jnp.float32
+    )
+    outs = discriminator.apply(d, audio)
+    assert len(outs) == len(discriminator.MPD_PERIODS) + len(
+        discriminator.MRD_RESOLUTIONS
+    )
+    for logits, feats in outs:
+        assert logits.shape[0] == 2
+        assert np.isfinite(np.asarray(logits)).all()
+        assert len(feats) >= 3
+
+
+def test_gan_step_runs_and_trains():
+    from beatrice_vst_tpu.training import train_gan
+
+    spec = V20A2
+    cfg = VoiceConverterConfig.for_version(spec)
+    student = chain.init(jax.random.PRNGKey(0), cfg)
+    teacher = chain.init(jax.random.PRNGKey(1), cfg)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(2), spec, 2)
+    batches = make_teacher_batcher(cfg, teacher, bank, batch=2, frames=8)
+    _, history = train_gan(student, cfg, batches, steps=3, lr=1e-4,
+                           log_every=1, log_fn=lambda *_: None)
+    assert np.isfinite([loss for _, loss in history]).all()
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    from beatrice_vst_tpu.training import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "b": [jnp.zeros((4,), jnp.int32), 7],
+    }
+    d = str(tmp_path / "ckpts")
+    save_checkpoint(d, 5, tree)
+    save_checkpoint(d, 10, tree)
+    assert latest_step(d) == 10
+    step, got = restore_checkpoint(d, tree)
+    assert step == 10
+    np.testing.assert_array_equal(np.asarray(got["a"]), np.asarray(tree["a"]))
+    assert got["b"][1] == 7
+    # structure mismatch is an error, not silent corruption
+    import pytest
+
+    with pytest.raises(ValueError):
+        restore_checkpoint(d, {"a": tree["a"]})
+
+
+def test_pair_dataset_identity_mode(tmp_path):
+    from beatrice_vst_tpu.audio_io import write_wav
+    from beatrice_vst_tpu.training import PairDataset, make_pair_batcher
+
+    d = tmp_path / "data" / "inputs"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_wav(str(d / f"utt{i}.wav"),
+                  rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+    ds = PairDataset(str(tmp_path / "data"))
+    assert ds.identity_mode
+    assert len(ds.items) == 2
+    spec = V20A2
+    cfg = VoiceConverterConfig.for_version(spec)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(2), spec, 2)
+    batcher = make_pair_batcher(ds, cfg, bank, batch=3, frames=8,
+                                prefetch=0)
+    batch = next(batcher)
+    assert batch["audio16"].shape == (3, 8 * 160)
+    assert batch["target24"].shape == (3, 8 * 240)
+    assert np.isfinite(np.asarray(batch["target24"])).all()
+
+
+def test_pair_dataset_with_targets_and_speakers(tmp_path):
+    import json
+
+    from beatrice_vst_tpu.audio_io import write_wav
+    from beatrice_vst_tpu.training import PairDataset
+
+    root = tmp_path / "data"
+    (root / "inputs").mkdir(parents=True)
+    (root / "targets").mkdir()
+    rng = np.random.default_rng(0)
+    write_wav(str(root / "inputs" / "a.wav"),
+              rng.standard_normal(3200).astype(np.float32) * 0.1, 16000)
+    write_wav(str(root / "targets" / "a.wav"),
+              rng.standard_normal(4800).astype(np.float32) * 0.1, 24000)
+    (root / "speakers.json").write_text(json.dumps({"a": 1}))
+    ds = PairDataset(str(root))
+    assert not ds.identity_mode
+    a16, t24, sid = ds.items[0]
+    assert len(a16) // 160 == len(t24) // 240
+    assert sid == 1
+
+
 def test_distillation_reduces_loss():
     spec = V20A2
     cfg = VoiceConverterConfig.for_version(spec)
