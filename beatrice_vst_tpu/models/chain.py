@@ -104,11 +104,20 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     )
     if spec.has_vq:
         if "codebook_bank" in cond:
-            # shared-bank formulation: no per-stream [K, C] materialization
-            phone = phone_extractor.vq_knn_smooth_bank(
-                phone, cond["codebook_bank"], cond["codebook_idx"],
-                cond["vq_num_neighbors"],
-            )
+            # shared-bank formulations: no per-stream [K, C] materialization
+            if phone.shape[1] == 1 and cond["codebook_idx"].ndim == 1:
+                # gather-free one-hot contraction path (the fast T==1 /
+                # real-time form; see vq_knn_smooth_shared)
+                phone = phone_extractor.vq_knn_smooth_shared(
+                    phone, cond["codebook_bank"], cond["codebook_idx"],
+                    cond["vq_num_neighbors"],
+                    codebook_scale=cond.get("codebook_bank_scale"),
+                )
+            else:
+                phone = phone_extractor.vq_knn_smooth_bank(
+                    phone, cond["codebook_bank"], cond["codebook_idx"],
+                    cond["vq_num_neighbors"],
+                )
         else:
             phone = phone_extractor.vq_knn_smooth(
                 phone, cond["codebook"], cond["vq_num_neighbors"],

@@ -191,5 +191,76 @@ def vq_knn_smooth_bank(phone, bank_codebooks, codebook_idx, num_neighbors,
     return out.astype(phone.dtype)
 
 
+def vq_knn_smooth_shared(phone, bank_codebooks, codebook_idx, num_neighbors,
+                         max_neighbors: int = 8, codebook_scale=None):
+    """Gather-free k-NN phone smoothing against the *shared* codebook bank.
+
+    phone: [B, T, C]; bank_codebooks: [S, K, C] (whole-model bank, bf16 or
+    int8 with per-row `codebook_scale` [S, K, 1]); codebook_idx: [B] int;
+    num_neighbors: [B] int, 0 = passthrough.
+
+    Exact-equivalent to gathering each stream's [K, C] codebook and calling
+    vq_knn_smooth, but expressed purely as one-hot contractions so nothing
+    per-stream of size K*C ever touches HBM:
+
+      pc[b,k]  = phone[b]·CB[s_b,k]  ==  einsum('bsc,skc->bk',
+                   onehot[b,s]*phone[b,c], CB)       (no [B,K,C] gather)
+      out[b,c] = mean of selected rows ==  einsum('bsk,skc->bc',
+                   onehot[b,s]*weights[b,k], CB)
+
+    Why this beats both alternatives measured earlier on v5e: the naive
+    gather path materializes/re-reads [B, K, C] (hundreds of MB per tick at
+    serving batch), and the earlier bank variant (vq_knn_smooth_bank) used
+    take_along_axis + per-rank row gathers -- the documented Mosaic 2-D
+    advanced-indexing cliff.  Here the bank is read O(S*K*C) bytes total
+    (~1 MB int8) and every step is a matmul or a [B, K] elementwise op.
+    FLOPs grow with S (B*S*K*C per contraction), so the engine picks this
+    path only while S*K*C stays MXU-cheap (runtime/engine.py).
+    """
+    s, k_entries, c = bank_codebooks.shape
+    b, t = phone.shape[:2]
+    if bank_codebooks.dtype == jnp.int8:
+        cb = bank_codebooks.astype(jnp.bfloat16)  # [S,K,C]: ~2 MB, cheap
+        query = phone.astype(jnp.bfloat16)
+    else:
+        cb = bank_codebooks
+        query = phone.astype(bank_codebooks.dtype)
+    onehot = jax.nn.one_hot(codebook_idx, s, dtype=query.dtype)  # [B, S]
+
+    c2_all = jnp.einsum("skc,skc->sk", cb, cb,
+                        preferred_element_type=jnp.float32)  # [S, K]
+    if codebook_scale is not None:
+        sc = codebook_scale[..., 0]  # [S, K]
+        c2_all = c2_all * (sc * sc)
+        sc_b = jnp.einsum("bs,sk->bk", onehot.astype(jnp.float32), sc)  # [B, K]
+    c2 = jnp.einsum("bs,sk->bk", onehot.astype(jnp.float32), c2_all)  # [B, K]
+
+    # phone masked per speaker slot -> distances in one contraction over s,c
+    masked = onehot[:, :, None] * query[:, 0, :][:, None, :]  # [B, S, C]
+    pc = jnp.einsum("bsc,skc->bk", masked, cb,
+                    preferred_element_type=jnp.float32)  # [B, K]
+    if codebook_scale is not None:
+        pc = pc * sc_b
+    dist = c2 - 2.0 * pc  # [B, K]
+
+    neg = -dist
+    onehot_sum = jnp.zeros_like(dist)
+    n = num_neighbors[:, None].astype(jnp.int32)  # [B, 1]
+    for rank in range(max_neighbors):
+        i = jnp.argmax(neg, axis=-1)  # [B]
+        oh = jax.nn.one_hot(i, k_entries, dtype=dist.dtype)
+        neg = jnp.where(oh > 0, -jnp.inf, neg)
+        onehot_sum = onehot_sum + jnp.where(rank < n, oh, 0.0)
+    denom = jnp.maximum(n.astype(jnp.float32), 1.0)
+    weights = onehot_sum
+    if codebook_scale is not None:
+        weights = weights * sc_b
+    w_by_spk = onehot[:, :, None] * weights[:, None, :].astype(onehot.dtype)
+    smoothed = jnp.einsum("bsk,skc->bc", w_by_spk, cb,
+                          preferred_element_type=jnp.float32) / denom
+    out = jnp.where(n > 0, smoothed, phone[:, 0, :].astype(jnp.float32))
+    return out[:, None, :].astype(phone.dtype)
+
+
 def receptive_field_frames(cfg: PhoneExtractorConfig) -> int:
     return sum((cfg.kernel - 1) * d for d in cfg.dilations) + 1

@@ -49,6 +49,15 @@ class EngineConfig:
     # per tick; ~0.4% per-row quantization error, scales folded outside the
     # contractions.  Only takes effect together with compute_dtype.
     quantize_conditioning: bool = True
+    # gather-free shared-bank VQ (vq_knn_smooth_shared): the per-stream
+    # [K, C] codebook gather + its re-reads were the largest single tick
+    # component measured on v5e (scripts/profile_tick.py); the one-hot
+    # contraction form reads the whole bank (~1 MB int8) instead and cut
+    # the 3584-stream tick 9.07 -> 7.12 ms.  FLOPs scale with n_speakers,
+    # so None = auto (on while S <= vq_shared_max_speakers and T == 1);
+    # True/False forces.
+    vq_shared_bank: bool | None = None
+    vq_shared_max_speakers: int = 128
 
     @classmethod
     def realtime(cls, capacity: int, spec: VersionSpec = V20RC0,
@@ -194,13 +203,29 @@ def _build_cond(cfg: EngineConfig, bank, state):
     if cfg.spec.has_vq:
         # one codebook per stream per tick (per-frame lottery when T == 1,
         # which is the real-time configuration; see morpher.codebook_lottery).
-        # NOTE: a shared-bank formulation (vq_knn_smooth_bank, no [B, K, C]
-        # gather) exists but measured 4-6x SLOWER on v5e -- the [B, S*K]
-        # logits and flat-index gathers cost more than the codebook gather.
-        # Kept opt-in for future hardware via cond["codebook_bank"].
-        cond["codebook"] = bank["codebook"][cb_idx]
-        if "codebook_scale" in bank:
-            cond["codebook_scale"] = bank["codebook_scale"][cb_idx]
+        n_spk = bank["codebook"].shape[0]
+        use_shared = (
+            cfg.vq_shared_bank
+            if cfg.vq_shared_bank is not None
+            else (cfg.frames_per_tick == 1
+                  and n_spk <= cfg.vq_shared_max_speakers)
+        )
+        if use_shared and cb_idx is not None and cb_idx.ndim == 1:
+            # gather-free one-hot contraction path (vq_knn_smooth_shared):
+            # reads the ~1 MB shared bank instead of writing+re-reading a
+            # [B, K, C] per-stream copy.  Measured on v5e: tick 5.78->4.78 ms
+            # at B=2048, 9.07->7.12 ms at B=3584 (S=16).  An older
+            # take_along_axis variant (vq_knn_smooth_bank) measured 4-6x
+            # slower than the gather -- the flat-index gathers were the
+            # problem, not the sharing.
+            cond["codebook_bank"] = bank["codebook"]
+            cond["codebook_idx"] = cb_idx
+            if "codebook_scale" in bank:
+                cond["codebook_bank_scale"] = bank["codebook_scale"]
+        else:
+            cond["codebook"] = bank["codebook"][cb_idx]
+            if "codebook_scale" in bank:
+                cond["codebook_scale"] = bank["codebook_scale"][cb_idx]
     return cond
 
 

@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 CAPACITIES = tuple(
-    int(c) for c in os.environ.get("BENCH_CAPACITIES", "2048,3072,3584").split(",")
+    int(c) for c in os.environ.get("BENCH_CAPACITIES", "3072,4608,5120").split(",")
 )
 N_WINDOWS = 4
 TICKS_PER_WINDOW = 50

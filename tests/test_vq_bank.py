@@ -31,3 +31,50 @@ def test_bank_vq_bf16_inputs():
     assert bool(jnp.all(jnp.isfinite(out)))
     # n=0 stream passes through
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(phone[1]), atol=1e-6)
+
+
+def test_shared_vq_matches_gather_vq():
+    from beatrice_vst_tpu.models.phone_extractor import vq_knn_smooth_shared
+
+    rng = np.random.default_rng(2)
+    s, k, c, b = 5, 64, 32, 6
+    bank = jnp.asarray(rng.standard_normal((s, k, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, s, b), jnp.int32)
+    phone = jnp.asarray(rng.standard_normal((b, 1, c)), jnp.float32)
+    n = jnp.asarray(rng.integers(0, 9, b), jnp.int32)
+
+    want = vq_knn_smooth(phone, bank[idx], n)
+    got = vq_knn_smooth_shared(phone, bank, idx, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shared_vq_int8_scales_match_gather_int8():
+    from beatrice_vst_tpu.models.layers import quantize_rows
+    from beatrice_vst_tpu.models.phone_extractor import vq_knn_smooth_shared
+
+    rng = np.random.default_rng(3)
+    s, k, c, b = 4, 64, 32, 8
+    bank_f = jnp.asarray(rng.standard_normal((s, k, c)), jnp.float32)
+    q, scale = quantize_rows(bank_f)
+    idx = jnp.asarray(rng.integers(0, s, b), jnp.int32)
+    phone = jnp.asarray(rng.standard_normal((b, 1, c)), jnp.float32)
+    n = jnp.asarray(rng.integers(0, 9, b), jnp.int32)
+
+    want = vq_knn_smooth(phone, q[idx], n, codebook_scale=scale[idx])
+    got = vq_knn_smooth_shared(phone, q, idx, n, codebook_scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_shared_vq_zero_neighbors_passthrough():
+    from beatrice_vst_tpu.models.phone_extractor import vq_knn_smooth_shared
+
+    rng = np.random.default_rng(4)
+    bank = jnp.asarray(rng.standard_normal((3, 32, 16)), jnp.bfloat16)
+    phone = jnp.asarray(rng.standard_normal((2, 1, 16)), jnp.float32)
+    out = vq_knn_smooth_shared(phone, bank, jnp.asarray([0, 2], jnp.int32),
+                               jnp.asarray([4, 0]))
+    assert out.shape == (2, 1, 16)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(phone[1]),
+                               atol=1e-6)
