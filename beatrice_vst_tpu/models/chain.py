@@ -146,6 +146,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         cond["speaker_embedding"], state["wg"],
         kv_embedding=cond.get("kv"), kv_cache=cond.get("kv_cache"),
         compute_dtype=compute_dtype,
+        kv_bank=cond.get("kv_bank"), kv_slot=cond.get("kv_slot"),
     )
     new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
     return audio24, new_state

@@ -213,6 +213,40 @@ def cross_attention_cached_q(params, x, k_q, k_scale, v_q, v_scale,
     return x + o.astype(x.dtype)
 
 
+def cross_attention_slots(params, x, k_z, v_z, onehot, compute_dtype=None):
+    """Cross-attention against a *shared slot bank* of precomputed K/V.
+
+    x: [B, T, H]; k_z/v_z: [Z, L, A] (Z = n_base_speakers + n_morph_slots);
+    onehot: [B, Z] selecting each stream's slot.
+
+    Exact same math as cross_attention_cached with per-stream K/V gathered
+    from the slot bank, but expressed as one-hot contractions so the HBM
+    traffic is O(B*Z*A) instead of O(B*L*A): at serving batch the
+    per-stream K/V cache reads (2 x [B, nb, L, A]) dominate the tick, while
+    the [B, Z, A] masked intermediates here are ~L/Z times smaller
+    (L=384, Z~32).  FLOPs grow with Z (B*Z*L*A per contraction), which is
+    MXU-cheap while Z stays small -- the engine bounds Z via
+    EngineConfig.n_morph_slots.
+    """
+    h = layer_norm(params["ln"], x)
+    q = linear(params["q"], h, compute_dtype)  # [B, T, A]
+    a = q.shape[-1]
+    if compute_dtype is not None:
+        k_z = k_z.astype(compute_dtype)
+        v_z = v_z.astype(compute_dtype)
+    oh = onehot.astype(q.dtype)
+    mq = oh[:, None, :, None] * q[:, :, None, :]  # [B, T, Z, A]
+    scores = jnp.einsum("btza,zla->btl", mq, k_z.astype(q.dtype),
+                        preferred_element_type=jnp.float32) / math.sqrt(a)
+    w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    tmp = jnp.einsum("btl,zla->btza", w, v_z.astype(q.dtype),
+                     preferred_element_type=jnp.float32)  # [B, T, Z, A]
+    o = jnp.einsum("btza,bz->bta", tmp.astype(q.dtype), oh,
+                   preferred_element_type=jnp.float32)
+    o = linear(params["o"], o.astype(q.dtype), compute_dtype)
+    return x + o.astype(x.dtype)
+
+
 def cross_attention(params, x, kv, compute_dtype=None):
     """Per-frame cross-attention to a per-stream speaker KV bank.
 

@@ -185,7 +185,7 @@ def project_kv(params, cfg: WaveformGeneratorConfig, kv_embedding,
 
 def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
           pitch_features, speaker_embedding, state, kv_embedding=None,
-          kv_cache=None, compute_dtype=None):
+          kv_cache=None, compute_dtype=None, kv_bank=None, kv_slot=None):
     """Generate audio for a chunk of frames.
 
     Args:
@@ -195,6 +195,9 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
       speaker_embedding: [B, hidden] or [B, T, hidden] (additive + formant)
       state: streaming state pytree
       kv_embedding: [B, kv_length, kv_channels] (20rc0) or None
+      kv_bank: {"k","v": [Z, n_blocks, L, A]} shared slot bank + kv_slot
+        [B] int32 (the slot-mode alternative to kv_cache; see
+        layers.cross_attention_slots)
 
     Returns (audio [B, T*240] float32 in [-1, 1], new_state).
     """
@@ -210,11 +213,22 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
         spk = spk[:, None, :]
     h = h + layers.linear(params["spk_in"], spk, compute_dtype)
 
+    slot_onehot = None
+    if kv_bank is not None and kv_slot is not None:
+        slot_onehot = jax.nn.one_hot(
+            kv_slot, kv_bank["k"].shape[0], dtype=jnp.float32
+        )
+
     new_block_states = []
     for i, (p, s) in enumerate(zip(params["blocks"], state["blocks"])):
         h, ns = layers.conv_block(p["conv"], h, s, 1, compute_dtype)
         if cfg.use_kv_attention:
-            if kv_cache is not None:
+            if slot_onehot is not None:
+                h = layers.cross_attention_slots(
+                    p["attn"], h, kv_bank["k"][:, i], kv_bank["v"][:, i],
+                    slot_onehot, compute_dtype,
+                )
+            elif kv_cache is not None:
                 if "k_scale" in kv_cache:  # int8 + per-row scales
                     h = layers.cross_attention_cached_q(
                         p["attn"], h,

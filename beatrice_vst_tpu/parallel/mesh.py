@@ -146,13 +146,21 @@ def params_sharding(params, mesh: Mesh, rules=MODEL_PARALLEL_RULES,
 
 
 def state_sharding(state, mesh: Mesh):
-    """Per-stream state: every leaf's leading dim is the stream axis."""
-    return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(
-            mesh, P("streams", *([None] * (leaf.ndim - 1)))
-        ),
-        state,
-    )
+    """Per-stream state: leaves whose leading dim is the stream axis are
+    sharded over 'streams'; shared tables (the KV slot bank, anything not
+    divisible by the axis size) replicate."""
+    ns = mesh.shape["streams"]
+
+    def rule(path, leaf):
+        shared = any(
+            getattr(p, "key", None) == "kv_slots" for p in path
+        )
+        if (not shared and leaf.ndim >= 1 and leaf.shape[0] >= ns
+                and leaf.shape[0] % ns == 0):
+            return NamedSharding(mesh, P("streams", *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, state)
 
 
 def replicated(tree, mesh: Mesh):

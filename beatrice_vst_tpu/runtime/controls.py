@@ -37,6 +37,10 @@ def init_controls(spec: VersionSpec, capacity: int):
         "output_gain_db": jnp.zeros(b, jnp.float32),
         "morph_weights": jnp.zeros((capacity, MAX_N_SPEAKERS), jnp.float32),
         "morph_top_idx": jnp.zeros((capacity, SPH_AVG_MAX_N_SPEAKERS), jnp.int32),
+        # slots-mode KV selector: index into [n_speakers + n_morph_slots)
+        # (engine.py kv_cache_mode="slots"); defaults to base speaker 0,
+        # matching target_speaker's default
+        "kv_slot": jnp.zeros(b, jnp.int32),
     }
 
 

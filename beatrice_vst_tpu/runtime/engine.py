@@ -44,11 +44,29 @@ class EngineConfig:
     model: VoiceConverterConfig
     frames_per_tick: int = 1  # T; 1 = real-time 10 ms ticks
     compute_dtype: str | None = None  # e.g. "bfloat16" on TPU
-    # int8 storage (per-row scales) for the bandwidth-bound conditioning
-    # tensors (KV projection cache + VQ codebooks): halves their HBM reads
-    # per tick; ~0.4% per-row quantization error, scales folded outside the
-    # contractions.  Only takes effect together with compute_dtype.
+    # int8 storage (per-row scales) for the VQ codebook bank: ~0.4% per-row
+    # quantization error, scales folded outside the contractions.  Only
+    # takes effect together with compute_dtype.
     quantize_conditioning: bool = True
+    # int8 KV projection cache (per_stream mode only).  Measured on v5e:
+    # at serving batch the halved HBM read wins (tick at 5120 streams:
+    # 9.22 ms int8 vs 10.06 ms bf16), while at B<=2048 the standalone
+    # attention is slightly faster in bf16 (1.2 vs 1.6 ms -- the dequant
+    # convert dominates when the reads aren't the bottleneck).  Default
+    # int8: the production regime is the large-batch one.
+    quantize_kv_cache: bool = True
+    # KV conditioning layout:
+    #   "slots"      shared slot bank [n_speakers + n_morph_slots, ...] read
+    #                via one-hot contractions (layers.cross_attention_slots)
+    #                -- O(B*Z*A) traffic instead of the per-stream cache's
+    #                O(B*L*A).  Morphing streams lease one of n_morph_slots
+    #                for their unique morphed KV; on slot exhaustion a
+    #                morphing stream's KV falls back to its dominant morph
+    #                speaker (additive morphing stays exact).
+    #   "per_stream" per-stream projected K/V cache [B, nb, L, A] -- exact
+    #                for unlimited concurrent morphs; higher HBM traffic.
+    kv_cache_mode: str = "slots"
+    n_morph_slots: int = 16
     # gather-free shared-bank VQ (vq_knn_smooth_shared): the per-stream
     # [K, C] codebook gather + its re-reads were the largest single tick
     # component measured on v5e (scripts/profile_tick.py); the one-hot
@@ -129,24 +147,34 @@ def init_engine_state(cfg: EngineConfig):
         state["morphed"]["kv"] = jnp.zeros(
             (cfg.capacity, spec.kv_length, spec.kv_channels), cond_dtype
         )
-        # per-stream precomputed K/V per block: refreshed on speaker/morph
-        # events, read every tick -- removes the projection matmuls (~5/6
-        # of the vocoder's per-frame FLOPs) from the hot path
+        # precomputed K/V per block: refreshed on speaker/morph events,
+        # read every tick -- removes the projection matmuls (~5/6 of the
+        # vocoder's per-frame FLOPs) from the hot path
         a = cfg.model.wg.attn_dim
         nb = cfg.model.wg.n_blocks
-        shape = (cfg.capacity, nb, spec.kv_length, a)
-        if cfg.quantize_conditioning and cfg.dtype is not None:
-            state["kv_cache"] = {
-                "k": jnp.zeros(shape, jnp.int8),
-                "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.ones((*shape[:-1], 1), jnp.float32),
-                "v_scale": jnp.ones((*shape[:-1], 1), jnp.float32),
+        if cfg.kv_cache_mode == "slots":
+            # morph slots only; the base-speaker slots are projected from
+            # the bank inside the tick (tiny: S*L*C*A matmuls)
+            state["kv_slots"] = {
+                "k": jnp.zeros((cfg.n_morph_slots, nb, spec.kv_length, a),
+                               cond_dtype),
+                "v": jnp.zeros((cfg.n_morph_slots, nb, spec.kv_length, a),
+                               cond_dtype),
             }
         else:
-            state["kv_cache"] = {
-                "k": jnp.zeros(shape, cond_dtype),
-                "v": jnp.zeros(shape, cond_dtype),
-            }
+            shape = (cfg.capacity, nb, spec.kv_length, a)
+            if cfg.quantize_kv_cache and cfg.dtype is not None:
+                state["kv_cache"] = {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "k_scale": jnp.ones((*shape[:-1], 1), jnp.float32),
+                    "v_scale": jnp.ones((*shape[:-1], 1), jnp.float32),
+                }
+            else:
+                state["kv_cache"] = {
+                    "k": jnp.zeros(shape, cond_dtype),
+                    "v": jnp.zeros(shape, cond_dtype),
+                }
     return state
 
 
@@ -170,12 +198,13 @@ def cast_bank(bank, dtype, quantize_codebook: bool = False):
     return out
 
 
-def _build_cond(cfg: EngineConfig, bank, state):
+def _build_cond(cfg: EngineConfig, bank, state, params=None):
     """Resolve per-stream conditioning from controls + bank, one tick.
 
-    The KV path comes from the precomputed per-stream cache (refreshed on
-    control events), so per-tick work is just the additive/formant select,
-    the codebook gather, and the morph lottery."""
+    The KV path comes either from the slot bank (base speakers projected
+    in-tick -- tiny -- plus the morph slots refreshed on control events)
+    or from the precomputed per-stream cache; per-tick work beyond that is
+    just the additive/formant select and the morph lottery."""
     c = state["controls"]
     additive, kv, cb_idx = morpher.select_conditioning(
         bank,
@@ -199,7 +228,31 @@ def _build_cond(cfg: EngineConfig, bank, state):
         "pitch_correction_type": c["pitch_correction_type"],
     }
     if cfg.spec.has_kv:
-        cond["kv_cache"] = state["kv_cache"]
+        if "kv_slots" in state:
+            from ..models import waveform_generator as wg_mod
+
+            base = wg_mod.project_kv(
+                params["wg"], cfg.model.wg, bank["kv"], cfg.dtype
+            )  # {"k"/"v": [S, nb, L, A]} -- S*L*C*A matmuls, negligible
+            dt = state["kv_slots"]["k"].dtype
+            cond["kv_bank"] = {
+                "k": jnp.concatenate(
+                    [base["k"].astype(dt), state["kv_slots"]["k"]], axis=0
+                ),
+                "v": jnp.concatenate(
+                    [base["v"].astype(dt), state["kv_slots"]["v"]], axis=0
+                ),
+            }
+            # non-morph streams derive their slot from target_speaker (the
+            # kv_slot control only matters in morph mode), so direct users
+            # of engine_tick never need host-side slot bookkeeping
+            n = bank["additive"].shape[0]
+            direct = jnp.clip(c["target_speaker"], 0, n - 1)
+            cond["kv_slot"] = jnp.where(
+                c["target_speaker"] >= n, c["kv_slot"], direct
+            )
+        else:
+            cond["kv_cache"] = state["kv_cache"]
     if cfg.spec.has_vq:
         # one codebook per stream per tick (per-frame lottery when T == 1,
         # which is the real-time configuration; see morpher.codebook_lottery).
@@ -245,7 +298,7 @@ def engine_tick(params, bank, state, audio48, *, cfg: EngineConfig):
         audio48, state["gain_in_db"], c["input_gain_db"], 48000.0
     )
     x16, rs_in_state = rs_in.apply_block(x, state["rs_in"])
-    cond = _build_cond(cfg, bank, state)
+    cond = _build_cond(cfg, bank, state, params)
     y24, model_state = chain.apply(
         params, cfg.model, x16, state["model"], cond, compute_dtype=cfg.dtype
     )
@@ -297,10 +350,28 @@ def refresh_morphed(state, bank, idx):
     return {**state, "morphed": morphed}
 
 
+def refresh_kv_slots(params, state, cfg: EngineConfig, stream_idx, slot_idx):
+    """Project the morphed KV of the given streams into their leased slots
+    (slots mode; morph control events only -- direct-speaker streams just
+    point at a base slot, no device work)."""
+    if not cfg.spec.has_kv or "kv_slots" not in state:
+        return state
+    from ..models import waveform_generator
+
+    kv = state["morphed"]["kv"][stream_idx]  # [n, L, C]
+    proj = waveform_generator.project_kv(params["wg"], cfg.model.wg, kv, cfg.dtype)
+    slots = dict(state["kv_slots"])
+    for name in ("k", "v"):
+        slots[name] = slots[name].at[slot_idx].set(
+            proj[name].astype(slots[name].dtype)
+        )
+    return {**state, "kv_slots": slots}
+
+
 def refresh_kv_cache(params, bank, state, cfg: EngineConfig, idx):
     """Re-project the speaker KV bank into per-block K/V for the given
     streams (speaker/morph control events; the EmbeddingSetter analogue)."""
-    if not cfg.spec.has_kv:
+    if not cfg.spec.has_kv or "kv_cache" not in state:
         return state
     from ..models import waveform_generator
 
@@ -331,8 +402,24 @@ def refresh_kv_cache(params, bank, state, cfg: EngineConfig, idx):
 
 def refresh_conditioning(params, bank, state, cfg: EngineConfig, idx):
     """Full event refresh for the given streams: morph embeddings then the
-    KV projection cache (order matters: KV uses the morph result)."""
+    KV conditioning (order matters: KV uses the morph result).
+
+    In slots mode this assigns morph slots round-robin (idx position %
+    n_morph_slots) -- the test/offline-harness shortcut; StreamEngine does
+    real leasing with exhaustion fallback."""
     state = refresh_morphed(state, bank, idx)
+    if cfg.spec.has_kv and "kv_slots" in state:
+        idx = jnp.asarray(idx, jnp.int32)
+        n = bank["additive"].shape[0]
+        rows = jnp.arange(idx.shape[0], dtype=jnp.int32) % cfg.n_morph_slots
+        state = refresh_kv_slots(params, state, cfg, idx, rows)
+        target = state["controls"]["target_speaker"][idx]
+        old = state["controls"]["kv_slot"][idx]
+        controls = dict(state["controls"])
+        controls["kv_slot"] = controls["kv_slot"].at[idx].set(
+            jnp.where(target >= n, n + rows, old)
+        )
+        return {**state, "controls": controls}
     return refresh_kv_cache(params, bank, state, cfg, idx)
 
 
@@ -394,6 +481,16 @@ class StreamEngine:
         self._pending_reset: set[int] = set()
         self._slot_used = [False] * cfg.capacity
         self._kv_dirty: set[int] = set()
+        # slots-mode morph bookkeeping (host side): stream -> leased slot,
+        # last staged dominant morph speaker, streams currently in morph
+        # mode, and streams whose leased slot needs re-projection
+        self._n_speakers = bank["additive"].shape[0]
+        self._slots_mode = cfg.kv_cache_mode == "slots" and cfg.spec.has_kv
+        self._free_morph_slots = list(range(cfg.n_morph_slots - 1, -1, -1))
+        self._morph_slot: dict[int, int] = {}
+        self._morph_mode: set[int] = set()
+        self._last_top: dict[int, int] = {}
+        self._slot_dirty: set[int] = set()
 
     # ---- stream table ----
 
@@ -409,23 +506,70 @@ class StreamEngine:
         self._slot_used[idx] = True
         self.stage.stage(idx, "active", True)
         self._kv_dirty.add(idx)
+        if self._slots_mode:
+            self._release_morph_slot(idx)
+            self._morph_mode.discard(idx)
+            self.stage.stage(idx, "kv_slot", 0)
         self.counters["admitted"] += 1
         return idx
 
     def evict(self, idx: int) -> None:
         self.stage.stage(idx, "active", False)
         self._free.append(idx)
+        if self._slots_mode:
+            self._release_morph_slot(idx)
+            self._morph_mode.discard(idx)
         self.counters["evicted"] += 1
 
     # ---- controls ----
+
+    def _lease_morph_slot(self, idx: int):
+        if idx in self._morph_slot:
+            return self._morph_slot[idx]
+        if self._free_morph_slots:
+            s = self._free_morph_slots.pop()
+            self._morph_slot[idx] = s
+            return s
+        return None
+
+    def _release_morph_slot(self, idx: int) -> None:
+        s = self._morph_slot.pop(idx, None)
+        if s is not None:
+            self._free_morph_slots.append(s)
+
+    def _stage_kv_slot(self, idx: int) -> None:
+        """Point the stream at the right row of the KV slot bank."""
+        if idx in self._morph_mode:
+            slot = self._lease_morph_slot(idx)
+            if slot is not None:
+                self.stage.stage(idx, "kv_slot", self._n_speakers + slot)
+                self._slot_dirty.add(idx)
+            else:
+                # slot pool exhausted: KV falls back to the dominant morph
+                # speaker's base slot (additive morphing stays exact)
+                self.stage.stage(idx, "kv_slot", self._last_top.get(idx, 0))
 
     def set_control(self, idx: int, field: str, value) -> None:
         self.stage.stage(idx, field, value)
         if field in ("morph_weights", "morph_top_idx"):
             self._morph_dirty.add(int(idx))
             self._kv_dirty.add(int(idx))
+            if self._slots_mode:
+                if field == "morph_top_idx":
+                    self._last_top[int(idx)] = int(np.asarray(value).ravel()[0])
+                self._stage_kv_slot(int(idx))
         elif field == "target_speaker":
             self._kv_dirty.add(int(idx))
+            if self._slots_mode:
+                i, v = int(idx), int(value)
+                if v >= self._n_speakers:  # morph mode
+                    self._morph_mode.add(i)
+                    self._stage_kv_slot(i)
+                else:
+                    # direct speakers derive their slot from target_speaker
+                    # inside the tick; just return any leased slot
+                    self._morph_mode.discard(i)
+                    self._release_morph_slot(i)
 
     def flush_controls(self) -> None:
         if self.stage.pending():
@@ -438,12 +582,24 @@ class StreamEngine:
             idx = jnp.asarray(sorted(self._morph_dirty), jnp.int32)
             self.state = refresh_morphed(self.state, self.bank, idx)
             self._morph_dirty.clear()
-        if self._kv_dirty and self.cfg.spec.has_kv:
+        if self._kv_dirty and self.cfg.spec.has_kv and not self._slots_mode:
             idx = jnp.asarray(sorted(self._kv_dirty), jnp.int32)
             self.state = refresh_kv_cache(
                 self.params, self.bank, self.state, self.cfg, idx
             )
         self._kv_dirty.clear()
+        if self._slot_dirty:
+            streams = sorted(
+                s for s in self._slot_dirty if s in self._morph_slot
+            )
+            if streams:
+                rows = [self._morph_slot[s] for s in streams]
+                self.state = refresh_kv_slots(
+                    self.params, self.state, self.cfg,
+                    jnp.asarray(streams, jnp.int32),
+                    jnp.asarray(rows, jnp.int32),
+                )
+            self._slot_dirty.clear()
 
     # ---- the tick ----
 

@@ -81,8 +81,9 @@ def main():
     rin = jax.jit(rs_in.apply_block)
     t_r, (x16, _) = timeit("resample 48k->16k", rin, x48, state["rs_in"])
 
-    bc = jax.jit(functools.partial(_build_cond, cfg))
-    t_cond, cond = timeit("build_cond (gathers+lottery)", bc, bankc, state)
+    bc = jax.jit(lambda b, s, p: _build_cond(cfg, b, s, p))
+    t_cond, cond = timeit("build_cond (gathers+lottery)", bc, bankc, state,
+                          paramsc)
 
     pcfg = cfg.model.phone
     pe = jax.jit(lambda p, a, s: phone_extractor.apply(
@@ -109,10 +110,21 @@ def main():
     wcfg = cfg.model.wg
     wg = jax.jit(lambda p, ph, q, f, spk, s, kvc: waveform_generator.apply(
         p, wcfg, ph, q, f, spk, s, None, kvc, compute_dtype=jnp.bfloat16))
-    t_wg, (y24, _) = timeit(
-        "waveform generator", wg, paramsc["wg"], phone_s,
-        jnp.clip(qp, 0, wcfg.pitch_bins - 1), feats,
-        cond["speaker_embedding"], state["model"]["wg"], cond["kv_cache"])
+    if "kv_cache" in cond:
+        t_wg, (y24, _) = timeit(
+            "waveform generator", wg, paramsc["wg"], phone_s,
+            jnp.clip(qp, 0, wcfg.pitch_bins - 1), feats,
+            cond["speaker_embedding"], state["model"]["wg"], cond["kv_cache"])
+    else:
+        wg = jax.jit(lambda p, ph, q, f, spk, s, kb, ks:
+                     waveform_generator.apply(
+                         p, wcfg, ph, q, f, spk, s, None, None,
+                         compute_dtype=jnp.bfloat16, kv_bank=kb, kv_slot=ks))
+        t_wg, (y24, _) = timeit(
+            "waveform generator (slots)", wg, paramsc["wg"], phone_s,
+            jnp.clip(qp, 0, wcfg.pitch_bins - 1), feats,
+            cond["speaker_embedding"], state["model"]["wg"],
+            cond["kv_bank"], cond["kv_slot"])
 
     rout = jax.jit(rs_out.apply_block)
     timeit("resample 24k->48k", rout, y24, state["rs_out"])

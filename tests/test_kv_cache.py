@@ -48,9 +48,95 @@ def test_cached_equals_uncached_chain():
     assert err.max() < 0.05, err.max()  # bounded quantization deviation
 
 
+def test_slots_attention_equals_cached():
+    """cross_attention_slots == cross_attention_cached with gathered K/V."""
+    from beatrice_vst_tpu.models import layers
+
+    rng = np.random.default_rng(5)
+    b, t, hdim, z, ell, a = 6, 1, 32, 7, 24, 16
+    p = layers.cross_attention_init(jax.random.PRNGKey(0), hdim, 16, a)
+    x = jnp.asarray(rng.standard_normal((b, t, hdim)), jnp.float32)
+    k_z = jnp.asarray(rng.standard_normal((z, ell, a)), jnp.float32)
+    v_z = jnp.asarray(rng.standard_normal((z, ell, a)), jnp.float32)
+    slot = jnp.asarray(rng.integers(0, z, b), jnp.int32)
+    onehot = jax.nn.one_hot(slot, z, dtype=jnp.float32)
+
+    want = layers.cross_attention_cached(p, x, k_z[slot], v_z[slot])
+    got = layers.cross_attention_slots(p, x, k_z, v_z, onehot)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_slots_mode_equals_per_stream_mode():
+    """Whole-engine equivalence: slots mode == per-stream cache mode for
+    direct speakers AND a morphing stream with an available slot."""
+    cap = 4
+    params = chain.init(jax.random.PRNGKey(0), EngineConfig.realtime(cap, V20RC0).model)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20RC0, 3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((cap, 480)) * 0.1, jnp.float32)
+
+    outs = {}
+    for mode in ("per_stream", "slots"):
+        cfg = EngineConfig.realtime(cap, V20RC0)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, kv_cache_mode=mode, n_morph_slots=2)
+        eng = StreamEngine(cfg, params, bank, jit=False)
+        for _ in range(cap):
+            eng.admit()
+        eng.set_control(0, "target_speaker", np.int32(1))
+        eng.set_control(1, "target_speaker", np.int32(2))
+        # stream 2: morph mode over speakers 0/1
+        w = np.zeros(256, np.float32)
+        w[0], w[1] = 0.6, 0.4
+        eng.set_control(2, "morph_weights", w)
+        eng.set_control(2, "morph_top_idx",
+                        np.asarray([0, 1, 0, 0, 0, 0, 0, 0], np.int32))
+        eng.set_control(2, "target_speaker", np.int32(3))  # == n -> morph
+        out = eng.tick(x)
+        out = eng.tick(x)
+        outs[mode] = np.asarray(out)
+    np.testing.assert_allclose(outs["slots"], outs["per_stream"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_slot_exhaustion_falls_back_to_dominant_speaker():
+    import dataclasses
+    cap = 3
+    cfg = EngineConfig.realtime(cap, V20RC0)
+    cfg = dataclasses.replace(cfg, kv_cache_mode="slots", n_morph_slots=1)
+    params = chain.init(jax.random.PRNGKey(0), cfg.model)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20RC0, 3)
+    eng = StreamEngine(cfg, params, bank, jit=False)
+    for _ in range(cap):
+        eng.admit()
+    w = np.zeros(256, np.float32)
+    w[1], w[2] = 0.7, 0.3
+    for s in (0, 1):
+        eng.set_control(s, "morph_weights", w)
+        eng.set_control(s, "morph_top_idx",
+                        np.asarray([1, 2, 0, 0, 0, 0, 0, 0], np.int32))
+        eng.set_control(s, "target_speaker", np.int32(3))
+    eng.flush_controls()
+    slots = np.asarray(eng.state["controls"]["kv_slot"])
+    n = 3
+    # first morph stream got the only slot; second fell back to dominant
+    # morph speaker (base slot 1)
+    assert slots[0] == n + 0, slots
+    assert slots[1] == 1, slots
+    # leaving morph mode releases the slot for others
+    eng.set_control(0, "target_speaker", np.int32(1))
+    eng.set_control(1, "target_speaker", np.int32(3))
+    eng.flush_controls()
+    slots = np.asarray(eng.state["controls"]["kv_slot"])
+    assert slots[1] == n + 0, slots
+
+
 def test_engine_refreshes_cache_on_speaker_change():
+    import dataclasses
     cap = 2
     cfg = EngineConfig.realtime(cap, V20RC0)
+    cfg = dataclasses.replace(cfg, kv_cache_mode="per_stream")
     params = chain.init(jax.random.PRNGKey(0), cfg.model)
     bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20RC0, 4)
     eng = StreamEngine(cfg, params, bank, jit=False)
