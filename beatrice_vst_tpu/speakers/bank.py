@@ -99,6 +99,64 @@ def load(path: str, spec: VersionSpec):
     }
 
 
+def load_raw_rc0_dir(dirpath: str, spec: VersionSpec):
+    """Load a 20rc0-style directory of raw float32 embedding files
+    (the reference's per-model layout, processor_core_2.cc:300-366):
+
+        speaker_embeddings.bin          n x 512 x 128  (VQ codebooks)
+        embedding_setter.bin additions come as separate raw banks:
+        additive_speaker_embeddings.bin n x 256
+        formant_shift_embeddings.bin    9 x 256
+        key_value_speaker_embeddings.bin n x 384 x 128
+
+    n is inferred from the additive file's size (ReadNSpeakers analogue);
+    every other file is validated against it."""
+    add_path = os.path.join(dirpath, "additive_speaker_embeddings.bin")
+    if not os.path.exists(add_path):
+        raise BeatriceError(ErrorCode.FILE_OPEN_ERROR, add_path)
+    raw = np.fromfile(add_path, dtype=np.float32)
+    if raw.size == 0:
+        raise BeatriceError(ErrorCode.FILE_TOO_SMALL, add_path)
+    if raw.size % HID:
+        raise BeatriceError(ErrorCode.INVALID_FILE_SIZE, add_path)
+    n = raw.size // HID
+    if n > MAX_N_SPEAKERS:
+        raise BeatriceError(ErrorCode.FILE_TOO_LARGE, add_path)
+    bank = {"additive": jnp.asarray(raw.reshape(n, HID))}
+
+    formant_path = os.path.join(dirpath, "formant_shift_embeddings.bin")
+    bank["formant"] = (
+        load_raw_formant(formant_path)
+        if os.path.exists(formant_path)
+        else jnp.zeros((N_FORMANT_SHIFT_EMBEDDINGS, HID))
+    )
+
+    def read_exact(name, shape):
+        p = os.path.join(dirpath, name)
+        if not os.path.exists(p):
+            raise BeatriceError(ErrorCode.FILE_OPEN_ERROR, p)
+        want = int(np.prod(shape))
+        arr = np.fromfile(p, dtype=np.float32)
+        if arr.size < want:
+            raise BeatriceError(ErrorCode.FILE_TOO_SMALL, p)
+        if arr.size > want:
+            raise BeatriceError(ErrorCode.FILE_TOO_LARGE, p)
+        return jnp.asarray(arr.reshape(shape))
+
+    if spec.has_vq:
+        bank["codebook"] = read_exact(
+            "speaker_embeddings.bin",
+            (n, spec.codebook_size, spec.phone_channels),
+        )
+    if spec.has_kv:
+        bank["kv"] = read_exact(
+            "key_value_speaker_embeddings.bin",
+            (n, spec.kv_length, spec.kv_channels),
+        )
+    _validate(bank, spec)
+    return bank
+
+
 def load_raw_formant(path: str):
     """Raw float32 formant-shift embedding file: exactly 9x256 floats
     (-2..+2 semitones in 0.5 steps, beatrice.h:98-101)."""

@@ -91,7 +91,14 @@ def main():
     t_pe, (phone, _) = timeit(
         "phone extractor", pe, paramsc["phone"], x16, state["model"]["phone"])
 
-    if "codebook_scale" in cond:
+    if "codebook_bank" in cond:
+        vqf = jax.jit(lambda ph, cb, i, n, cs: phone_extractor.vq_knn_smooth_shared(
+            ph, cb, i, n, codebook_scale=cs))
+        t_vq, phone_s = timeit(
+            "vq knn smooth (shared bank)", vqf, phone, cond["codebook_bank"],
+            cond["codebook_idx"], cond["vq_num_neighbors"],
+            cond.get("codebook_bank_scale"))
+    elif "codebook_scale" in cond:
         vqf = jax.jit(lambda ph, cb, cs, n: phone_extractor.vq_knn_smooth(
             ph, cb, n, codebook_scale=cs))
         t_vq, phone_s = timeit("vq knn smooth", vqf, phone, cond["codebook"],

@@ -57,6 +57,40 @@ def test_raw_formant_reader_size_checks(tmp_path):
     assert got.shape == (9, 256)
 
 
+def test_raw_rc0_dir_reader(tmp_path):
+    from beatrice_vst_tpu.constants import V20RC0
+
+    rng = np.random.default_rng(0)
+    n = 3
+    rng.standard_normal((n, 256)).astype(np.float32).tofile(
+        str(tmp_path / "additive_speaker_embeddings.bin"))
+    rng.standard_normal((9, 256)).astype(np.float32).tofile(
+        str(tmp_path / "formant_shift_embeddings.bin"))
+    cb = rng.standard_normal((n, 512, 128)).astype(np.float32)
+    cb.tofile(str(tmp_path / "speaker_embeddings.bin"))
+    kv = rng.standard_normal((n, 384, 128)).astype(np.float32)
+    kv.tofile(str(tmp_path / "key_value_speaker_embeddings.bin"))
+    b = bank_mod.load_raw_rc0_dir(str(tmp_path), V20RC0)
+    assert bank_mod.n_speakers(b) == n
+    np.testing.assert_array_equal(np.asarray(b["codebook"]), cb)
+    np.testing.assert_array_equal(np.asarray(b["kv"]), kv)
+
+
+def test_raw_rc0_dir_size_mismatch(tmp_path):
+    from beatrice_vst_tpu.constants import V20RC0
+
+    rng = np.random.default_rng(0)
+    rng.standard_normal((2, 256)).astype(np.float32).tofile(
+        str(tmp_path / "additive_speaker_embeddings.bin"))
+    # codebook sized for 3 speakers, additive says 2 -> error
+    rng.standard_normal((3, 512, 128)).astype(np.float32).tofile(
+        str(tmp_path / "speaker_embeddings.bin"))
+    rng.standard_normal((2, 384, 128)).astype(np.float32).tofile(
+        str(tmp_path / "key_value_speaker_embeddings.bin"))
+    with pytest.raises(BeatriceError):
+        bank_mod.load_raw_rc0_dir(str(tmp_path), V20RC0)
+
+
 def test_raw_reader_invalid_size(tmp_path):
     p = str(tmp_path / "bad.bin")
     np.zeros(100, np.float32).tofile(p)
