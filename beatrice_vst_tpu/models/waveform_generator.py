@@ -159,11 +159,26 @@ def _source_phases(quantized_pitch, phase0):
 
 
 def _harmonic_features(phases, periodicity, cfg):
-    """[B, T, S, n_harmonics] sine bank gated by the periodicity feature."""
-    h = jnp.arange(1, cfg.n_harmonics + 1, dtype=jnp.float32)
-    sines = jnp.sin(phases[..., None] * h)  # [B, T, S, H]
+    """[B, T, S, n_harmonics] sine bank gated by the periodicity feature.
+
+    sin(k*phi) for k=1..H via the Chebyshev recurrence
+    sin((k+1)phi) = 2 cos(phi) sin(k phi) - sin((k-1)phi): 2 transcendental
+    evaluations + 2(H-2) FMAs instead of H `sin`s -- on v5e `sin` costs
+    ~19 VPU cycles/element and the full-rate bank (240*H per stream-frame)
+    was ~0.6 ms of the serving tick at 6144 streams.  Same spec as
+    reference_impl (np.sin(k*phi)); f32 recurrence error is ~1e-6 over 8
+    harmonics, far inside the 1e-3 golden gate.
+    """
+    s1 = jnp.sin(phases)
+    sines = [s1]
+    if cfg.n_harmonics > 1:
+        c2 = 2.0 * jnp.cos(phases)
+        sines.append(c2 * s1)
+        for _ in range(cfg.n_harmonics - 2):
+            sines.append(c2 * sines[-1] - sines[-2])
+    bank = jnp.stack(sines, axis=-1)  # [B, T, S, H]
     gate = jax.nn.sigmoid(periodicity)[..., None, None]  # [B, T, 1, 1]
-    return sines * gate
+    return bank * gate
 
 
 def project_kv(params, cfg: WaveformGeneratorConfig, kv_embedding,

@@ -88,9 +88,13 @@ def cross_attention(p, x, kv):
 
 
 def snake(p, x):
+    """Polynomial periodic snake: x + Q(a*x)/a with Q(y) = 16*(u*(1-u))^2,
+    u = frac(y/pi) -- the model spec (see models/layers.snake)."""
     a = np.exp(p["log_alpha"])
-    s = np.sin(a * x)
-    return x + s * s / (a + 1e-9)
+    y = x * (a / np.pi)
+    u = y - np.floor(y)
+    q = u * (1.0 - u)
+    return x + 16.0 * (q * q) / (a + 1e-9)
 
 
 def hash_noise(counter, n, salt):
