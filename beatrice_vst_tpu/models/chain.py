@@ -95,12 +95,20 @@ def default_cond(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
 
 
 def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
-          compute_dtype=None):
-    """audio16: [B, T*160] @16 kHz -> (audio24 [B, T*240] @24 kHz, state)."""
+          compute_dtype=None, t_index=None):
+    """audio16: [B, T*160] @16 kHz -> (audio24 [B, T*240] @24 kHz, state).
+
+    t_index: optional scalar absolute frame index (T=1 only) -- switches
+    the conv-state carries to the ring-buffer convention (one-row dynamic
+    updates instead of whole-window shifts; see layers.causal_conv).  The
+    serving engine threads its tick counter here; chunk/offline callers
+    leave it None.  A zero state is valid under both conventions.
+    """
     spec = cfg.spec
 
     phone, phone_state = phone_extractor.apply(
-        params["phone"], cfg.phone, audio16, state["phone"], compute_dtype
+        params["phone"], cfg.phone, audio16, state["phone"], compute_dtype,
+        t_index=t_index,
     )
     if spec.has_vq:
         if "codebook_bank" in cond:
@@ -126,7 +134,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
 
     qp_raw, pitch_feats, pitch_state = pitch_estimator.apply(
         params["pitch"], cfg.pitch, audio16, state["pitch"],
-        cond["min_q"], cond["max_q"], compute_dtype,
+        cond["min_q"], cond["max_q"], compute_dtype, t_index=t_index,
     )
 
     # Pitch shift / intonation / correction (processor_core_0.cc:58-120),
@@ -147,6 +155,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         kv_embedding=cond.get("kv"), kv_cache=cond.get("kv_cache"),
         compute_dtype=compute_dtype,
         kv_bank=cond.get("kv_bank"), kv_slot=cond.get("kv_slot"),
+        t_index=t_index,
     )
     new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
     return audio24, new_state

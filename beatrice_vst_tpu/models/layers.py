@@ -82,29 +82,60 @@ def causal_conv_state(batch_shape, k, in_dim, dilation=1, dtype=jnp.float32):
     return jnp.zeros((*batch_shape, (k - 1) * dilation, in_dim), dtype)
 
 
-def causal_conv(params, x, state, dilation=1, compute_dtype=None):
+def causal_conv(params, x, state, dilation=1, compute_dtype=None,
+                ring_pos=None):
     """Causal dilated conv over time.
 
     x: [B, T, Cin]; state: [B, (k-1)*dilation, Cin] (past inputs).
     Returns (y [B, T, Cout], new_state).
 
     Tap j reads input at time t - (k-1-j)*dilation; j == k-1 is "now".
+
+    Two state conventions over the SAME [B, R, Cin] buffer (R = (k-1)*d):
+
+    * linear (ring_pos=None): rows are the last R inputs in time order;
+      each call shifts the whole window (the chunk/offline path, any T).
+    * ring (ring_pos = scalar int frame index, T must be 1): row
+      `n % R` holds input at time n; a step writes ONE row with a dynamic
+      update (in-place under donation) and reads its k-1 taps by rotating
+      index.  This removes the per-tick full-state concat + re-copy that
+      dominated the serving tick (the [B, 25, 256]-style concats at every
+      block plus their layout-conversion copies measured ~1.5 ms of a
+      6.9 ms tick at 6144 streams).
+
+    A zero state is valid under both conventions, so a stream can start in
+    either mode from init_state; the two paths are numerically identical
+    (same xt assembly, same single matmul).
     """
     w, b = params["w"], params["b"]
     k = w.shape[0]
     t = x.shape[-2]
-    full = jnp.concatenate([state.astype(x.dtype), x], axis=-2)
-    taps = [full[..., j * dilation: j * dilation + t, :] for j in range(k)]
-    xt = jnp.concatenate(taps, axis=-1)  # [B, T, k*Cin]
+    r = state.shape[-2]
+    if ring_pos is not None and r and t == 1:
+        pos = jnp.asarray(ring_pos, jnp.int32)
+        rows = [
+            jax.lax.dynamic_slice_in_dim(
+                state, jnp.mod(pos - (k - 1 - j) * dilation, r), 1, axis=-2
+            ).astype(x.dtype)
+            for j in range(k - 1)
+        ]
+        xt = jnp.concatenate([*rows, x], axis=-1)  # [B, 1, k*Cin]
+        new_state = jax.lax.dynamic_update_slice_in_dim(
+            state, x.astype(state.dtype), jnp.mod(pos, r), axis=-2
+        )
+    else:
+        full = jnp.concatenate([state.astype(x.dtype), x], axis=-2)
+        taps = [full[..., j * dilation: j * dilation + t, :] for j in range(k)]
+        xt = jnp.concatenate(taps, axis=-1)  # [B, T, k*Cin]
+        # state dtype is sticky: a bf16-initialized carry stays bf16,
+        # halving the per-tick HBM traffic of the streaming state
+        new_state = full[..., t:, :].astype(state.dtype) if r else state
     wt = w.reshape(k * w.shape[1], w.shape[2])
     if compute_dtype is not None:
         xt = xt.astype(compute_dtype)
         wt = wt.astype(compute_dtype)
     y = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
     y = y + b.astype(y.dtype)
-    # state dtype is sticky: a bf16-initialized carry stays bf16, halving
-    # the per-tick HBM traffic of the streaming state
-    new_state = full[..., t:, :].astype(state.dtype) if state.shape[-2] else state
     return y, new_state
 
 
@@ -126,9 +157,12 @@ def conv_block_state(batch_shape, dim, k=4, dilation=1, dtype=jnp.float32):
     return causal_conv_state(batch_shape, k, dim, dilation, dtype)
 
 
-def conv_block(params, x, state, dilation=1, compute_dtype=None):
+def conv_block(params, x, state, dilation=1, compute_dtype=None,
+               ring_pos=None):
     h = layer_norm(params["ln"], x)
-    h, new_state = causal_conv(params["conv"], h, state, dilation, compute_dtype)
+    h, new_state = causal_conv(
+        params["conv"], h, state, dilation, compute_dtype, ring_pos=ring_pos
+    )
     h = jax.nn.gelu(h)
     h = linear(params["mlp_in"], h, compute_dtype)
     h = jax.nn.gelu(h)

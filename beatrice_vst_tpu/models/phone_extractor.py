@@ -75,12 +75,15 @@ def init_state(cfg: PhoneExtractorConfig, batch_shape=(), dtype=jnp.float32):
     }
 
 
-def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None):
+def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None,
+          t_index=None):
     """audio: [B, T*160] raw 16 kHz samples -> phone [B, T, phone_channels].
 
     Returns (phone, new_state).  T=1 gives the per-frame streaming step;
     larger T is the offline/chunked path -- identical code, identical
-    numerics (tested in tests/test_models.py).
+    numerics (tested in tests/test_models.py).  t_index (scalar absolute
+    frame index, T=1 only) selects the ring-buffer conv-state convention
+    (layers.causal_conv) used by the serving engine.
     """
     fe = cfg.frontend
     windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
@@ -88,7 +91,7 @@ def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None):
     h = layers.linear(params["prenet"], mel, compute_dtype)
     new_block_states = []
     for p, s, d in zip(params["blocks"], state["blocks"], cfg.dilations):
-        h, ns = layers.conv_block(p, h, s, d, compute_dtype)
+        h, ns = layers.conv_block(p, h, s, d, compute_dtype, ring_pos=t_index)
         new_block_states.append(ns)
     h = layers.layer_norm(params["out_ln"], h)
     phone = layers.linear(params["out"], h, compute_dtype)

@@ -76,7 +76,7 @@ def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32):
 
 def apply(params, cfg: PitchEstimatorConfig, audio, state,
           min_quantized_pitch=None, max_quantized_pitch=None,
-          compute_dtype=None):
+          compute_dtype=None, t_index=None):
     """audio: [B, T*160] -> (quantized_pitch [B,T] int32, features [B,T,4]).
 
     min/max_quantized_pitch: [B] int per-stream bin clamps (default full
@@ -89,7 +89,7 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
     h = layers.linear(params["prenet"], mel, compute_dtype)
     new_block_states = []
     for p, s, d in zip(params["blocks"], state["blocks"], cfg.dilations):
-        h, ns = layers.conv_block(p, h, s, d, compute_dtype)
+        h, ns = layers.conv_block(p, h, s, d, compute_dtype, ring_pos=t_index)
         new_block_states.append(ns)
     h = layers.layer_norm(params["out_ln"], h)
     logits = layers.linear(params["logits"], h, compute_dtype).astype(jnp.float32)

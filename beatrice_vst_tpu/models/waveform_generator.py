@@ -140,11 +140,14 @@ def init_state(cfg: WaveformGeneratorConfig, batch_shape=(), dtype=jnp.float32):
 
 
 def _source_phases(quantized_pitch, phase0):
-    """Per-sample source phases for each frame.
+    """Per-frame source phase parameters.
 
     quantized_pitch: [B, T] int bins; phase0: [B] carried phase (radians).
-    Returns (phases [B, T, 240], new_phase [B]).  f0 is held constant
-    within a frame; the carried phase makes frame joins continuous.
+    Returns (start [B, T], step [B, T], new_phase [B]): the phase at sample
+    position p of frame t is start[t] + step[t] * p (p = 1..240); f0 is
+    held constant within a frame and the carried phase makes frame joins
+    continuous.  Callers evaluate phases at whatever sample grid they need
+    (the upsampler evaluates each stage's rate directly).
     """
     f0 = quantized_pitch_to_hz(quantized_pitch.astype(jnp.float32))  # [B, T]
     step = 2.0 * jnp.pi * f0 / OUT_SAMPLE_RATE  # [B, T] per-sample increment
@@ -152,10 +155,8 @@ def _source_phases(quantized_pitch, phase0):
     # phase at the start of each frame
     start = phase0[:, None] + jnp.cumsum(frame_inc, axis=-1) - frame_inc
     start = jnp.mod(start, 2.0 * jnp.pi)
-    n = jnp.arange(1, OUT_HOP_LENGTH + 1, dtype=jnp.float32)
-    phases = start[..., None] + step[..., None] * n
     new_phase = jnp.mod(start[:, -1] + frame_inc[:, -1], 2.0 * jnp.pi)
-    return phases, new_phase
+    return start, step, new_phase
 
 
 def _harmonic_features(phases, periodicity, cfg):
@@ -200,7 +201,8 @@ def project_kv(params, cfg: WaveformGeneratorConfig, kv_embedding,
 
 def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
           pitch_features, speaker_embedding, state, kv_embedding=None,
-          kv_cache=None, compute_dtype=None, kv_bank=None, kv_slot=None):
+          kv_cache=None, compute_dtype=None, kv_bank=None, kv_slot=None,
+          t_index=None):
     """Generate audio for a chunk of frames.
 
     Args:
@@ -236,7 +238,8 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
 
     new_block_states = []
     for i, (p, s) in enumerate(zip(params["blocks"], state["blocks"])):
-        h, ns = layers.conv_block(p["conv"], h, s, 1, compute_dtype)
+        h, ns = layers.conv_block(p["conv"], h, s, 1, compute_dtype,
+                                  ring_pos=t_index)
         if cfg.use_kv_attention:
             if slot_onehot is not None:
                 h = layers.cross_attention_slots(
@@ -266,20 +269,28 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
     h = layers.layer_norm(params["out_ln"], h)
 
     # ---- harmonic + noise source ----
-    phases, new_phase = _source_phases(qp, state["phase"])  # [B, T, 240]
+    start, step, new_phase = _source_phases(qp, state["phase"])
     periodicity = pitch_features[..., 0]  # feature 0 gates voicing
-    harm = _harmonic_features(phases, periodicity, cfg)  # [B, T, 240, H]
     # absolute frame index per stream -> noise depends only on position, so
     # chunked and per-frame streaming produce identical noise
     counters = state["noise_counter"][:, None] + jnp.arange(t, dtype=jnp.uint32)
 
     # ---- per-rate source features (shared by both upsampler paths) ----
+    # Each stage's harmonics are computed directly at that stage's rate
+    # (positions stride, 2*stride, ..., 240 -- numerically identical to
+    # slicing a full-rate bank, but with no [B, T, 240, H] intermediate and
+    # no stride-60/12/3 lane slices, which relayout on TPU and dominated
+    # the source cost at serving batch).
     src_feats = []
     samples_per_frame = 1
     for i, (r, _) in enumerate(cfg.upsample):
         samples_per_frame *= r
         stride = OUT_HOP_LENGTH // samples_per_frame
-        harm_r = harm[:, :, stride - 1:: stride, :].reshape(
+        pos = jnp.arange(1, samples_per_frame + 1, dtype=jnp.float32) * float(
+            stride
+        )
+        phases_r = start[..., None] + step[..., None] * pos  # [B, T, spf]
+        harm_r = _harmonic_features(phases_r, periodicity, cfg).reshape(
             b, t * samples_per_frame, cfg.n_harmonics
         )
         noise_r = layers.hash_noise(
@@ -306,7 +317,10 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
         x = h  # [B, T, C]
         new_up_states = []
         for i, ((r, c_out), up) in enumerate(zip(cfg.upsample, params["up"])):
-            y, ns = layers.causal_conv(up["conv"], x, state["up"][i], 1, compute_dtype)
+            # ring only engages for the first stage (its time axis is T);
+            # later stages run at fine rates (t>1) and keep the linear shift
+            y, ns = layers.causal_conv(up["conv"], x, state["up"][i], 1,
+                                       compute_dtype, ring_pos=t_index)
             new_up_states.append(ns)
             cur_t = y.shape[1]
             y = y.reshape(b, cur_t * r, c_out)

@@ -137,6 +137,12 @@ def init_engine_state(cfg: EngineConfig):
         "gain_out_db": jnp.zeros(b, jnp.float32),
         "controls": init_controls(spec, cfg.capacity),
         "frame_counter": jnp.zeros(b, jnp.uint32),
+        # global tick index driving the ring-buffer conv-state convention
+        # (layers.causal_conv); shared by all streams -- a reset stream's
+        # zeroed rows read as zeros at any ring origin, so per-stream
+        # origins are unnecessary.  int32 ring arithmetic wraps after 2^31
+        # frames (~248 days of continuous 10 ms ticks).
+        "tick_idx": jnp.zeros((), jnp.uint32),
         "morphed": {
             "additive": jnp.zeros((cfg.capacity, cfg.model.wg.hidden), jnp.float32),
         },
@@ -229,11 +235,17 @@ def _build_cond(cfg: EngineConfig, bank, state, params=None):
     }
     if cfg.spec.has_kv:
         if "kv_slots" in state:
-            from ..models import waveform_generator as wg_mod
+            if "kv_proj_k" in bank:
+                # precomputed once by StreamEngine (base speakers only
+                # change with the bank): skips the per-tick projection +
+                # [S, nb, L, A] stack relayouts
+                base = {"k": bank["kv_proj_k"], "v": bank["kv_proj_v"]}
+            else:
+                from ..models import waveform_generator as wg_mod
 
-            base = wg_mod.project_kv(
-                params["wg"], cfg.model.wg, bank["kv"], cfg.dtype
-            )  # {"k"/"v": [S, nb, L, A]} -- S*L*C*A matmuls, negligible
+                base = wg_mod.project_kv(
+                    params["wg"], cfg.model.wg, bank["kv"], cfg.dtype
+                )  # {"k"/"v": [S, nb, L, A]} -- S*L*C*A matmuls
             dt = state["kv_slots"]["k"].dtype
             cond["kv_bank"] = {
                 "k": jnp.concatenate(
@@ -300,7 +312,8 @@ def engine_tick(params, bank, state, audio48, *, cfg: EngineConfig):
     x16, rs_in_state = rs_in.apply_block(x, state["rs_in"])
     cond = _build_cond(cfg, bank, state, params)
     y24, model_state = chain.apply(
-        params, cfg.model, x16, state["model"], cond, compute_dtype=cfg.dtype
+        params, cfg.model, x16, state["model"], cond, compute_dtype=cfg.dtype,
+        t_index=state["tick_idx"] if cfg.frames_per_tick == 1 else None,
     )
     y48, rs_out_state = rs_out.apply_block(y24, state["rs_out"])
     y48, gain_out_db = gain_process(
@@ -316,6 +329,7 @@ def engine_tick(params, bank, state, audio48, *, cfg: EngineConfig):
         "gain_in_db": gain_in_db,
         "gain_out_db": gain_out_db,
         "frame_counter": state["frame_counter"] + jnp.uint32(cfg.frames_per_tick),
+        "tick_idx": state["tick_idx"] + jnp.uint32(cfg.frames_per_tick),
     }
     return y48, new_state
 
@@ -468,6 +482,15 @@ class StreamEngine:
             bank, cfg.dtype,
             quantize_codebook=cfg.quantize_conditioning and cfg.dtype is not None,
         )
+        if cfg.kv_cache_mode == "slots" and cfg.spec.has_kv and "kv" in bank:
+            from ..models import waveform_generator as wg_mod
+
+            proj = wg_mod.project_kv(
+                params["wg"], cfg.model.wg, self.bank["kv"], cfg.dtype
+            )
+            dt = cfg.dtype or jnp.float32
+            self.bank["kv_proj_k"] = proj["k"].astype(dt)
+            self.bank["kv_proj_v"] = proj["v"].astype(dt)
         self.state = init_engine_state(cfg)
         self.stage = ControlStage()
         self._free = list(range(cfg.capacity - 1, -1, -1))

@@ -60,6 +60,38 @@ def test_step_equals_chunk(spec):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("spec", [V20A2, V20RC0], ids=["20a2", "20rc0"])
+def test_ring_step_equals_chunk(spec):
+    """The ring-buffer conv-state convention (t_index, used by the serving
+    engine) must produce the same audio as the linear chunk path from the
+    same zero init -- the state layouts differ but outputs must match."""
+    cfg, params, state, cond, audio = make(spec)
+    chunk_out, chunk_state = chain.apply(params, cfg, audio, state, cond)
+    outs = []
+    st = state
+    for i in range(T):
+        o, st = chain.apply(
+            params, cfg, audio[:, i * 160:(i + 1) * 160], st, cond,
+            t_index=jnp.uint32(i),
+        )
+        outs.append(np.asarray(o))
+    ring_out = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(ring_out, np.asarray(chunk_out), rtol=2e-4, atol=2e-5)
+    # and the ring must keep working past one full revolution of the
+    # longest ring (24 rows for the d=8 phone block)
+    st_lin = chunk_state
+    for i in range(30):
+        frame = audio[:, (i % T) * 160:((i % T) + 1) * 160]
+        o_ring, st = chain.apply(params, cfg, frame, st, cond,
+                                 t_index=jnp.uint32(T + i))
+        o_lin, st_lin = chain.apply(params, cfg, frame, st_lin, cond)
+        # ring vs linear are the same math but differently fused programs;
+        # tolerance covers f32 accumulation-order drift over 30 frames
+        np.testing.assert_allclose(
+            np.asarray(o_ring), np.asarray(o_lin), rtol=2e-4, atol=6e-5
+        )
+
+
 def test_scan_equals_chunk():
     cfg, params, state, cond, audio = make(V20RC0)
     chunk_out, _ = chain.apply(params, cfg, audio, state, cond)
