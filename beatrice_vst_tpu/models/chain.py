@@ -63,10 +63,17 @@ def init(key, cfg: VoiceConverterConfig, dtype=jnp.float32):
     }
 
 
-def init_state(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
+def init_state(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32,
+               ring=False):
+    """ring=True sizes the audio-history carries for the hop-ring frontend
+    convention used with apply(..., t_index=...) (the T=1 serving path);
+    the default linear convention serves chunk/offline callers.  Both start
+    at zero; the conventions differ in layout, not semantics."""
     return {
-        "phone": phone_extractor.init_state(cfg.phone, batch_shape, dtype),
-        "pitch": pitch_estimator.init_state(cfg.pitch, batch_shape, dtype),
+        "phone": phone_extractor.init_state(cfg.phone, batch_shape, dtype,
+                                            ring=ring),
+        "pitch": pitch_estimator.init_state(cfg.pitch, batch_shape, dtype,
+                                            ring=ring),
         "wg": waveform_generator.init_state(cfg.wg, batch_shape, dtype),
     }
 

@@ -18,7 +18,9 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +84,32 @@ def causal_conv_state(batch_shape, k, in_dim, dilation=1, dtype=jnp.float32):
     return jnp.zeros((*batch_shape, (k - 1) * dilation, in_dim), dtype)
 
 
+@functools.lru_cache(maxsize=1)
+def _ring_mode() -> tuple[str, str]:
+    """(read, write) formulations for the ring step, for on-chip A/B:
+    'dus' = dynamic_(update_)slice, 'select' = one-hot contraction reads /
+    predicated-where write.  Env BEATRICE_RING_MODE, e.g. 'dus,select'."""
+    v = os.environ.get("BEATRICE_RING_MODE", "dus,select")
+    parts = v.split(",")
+    return (parts[0], parts[-1]) if len(parts) > 1 else (parts[0], parts[0])
+
+
+@functools.lru_cache(maxsize=1)
+def _ring_min_r() -> int:
+    """Rows below which the ring step falls back to the linear shift
+    (A/B knob; 1 = always ring, measured best on v5e)."""
+    return int(os.environ.get("BEATRICE_RING_MIN_R", "1"))
+
+
+@functools.lru_cache(maxsize=1)
+def _chunk_conv_mode() -> str:
+    """T>1 causal-conv formulation: 'conv' lowers to one
+    lax.conv_general_dilated (no materialized tap slices -- the [B,T,C]
+    tap copies at fine upsampler rates measured ~0.7 ms/tick at B=10240);
+    'taps' keeps the explicit strided-slice + single-matmul form."""
+    return os.environ.get("BEATRICE_CHUNK_CONV", "conv")
+
+
 def causal_conv(params, x, state, dilation=1, compute_dtype=None,
                 ring_pos=None):
     """Causal dilated conv over time.
@@ -111,25 +139,89 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
     k = w.shape[0]
     t = x.shape[-2]
     r = state.shape[-2]
-    if ring_pos is not None and r and t == 1:
+    if ring_pos is not None and r and t == 1 and r >= _ring_min_r():
         pos = jnp.asarray(ring_pos, jnp.int32)
-        rows = [
-            jax.lax.dynamic_slice_in_dim(
-                state, jnp.mod(pos - (k - 1 - j) * dilation, r), 1, axis=-2
+        rmode, wmode = _ring_mode()
+        iota = jax.lax.iota(jnp.int32, r)  # [R]
+        if rmode == "flat":
+            # address the ring on the LANE axis: [B, R, C] viewed as
+            # [B, R*C] (a bitcast), rows at offsets pos*C -- C is a
+            # multiple of the 128-lane tile, so the dynamic slices stay
+            # tile-aligned instead of shuffling sublanes
+            c = state.shape[-1]
+            flat = state.reshape(*state.shape[:-2], r * c)
+            rows = [
+                jax.lax.dynamic_slice_in_dim(
+                    flat, jnp.mod(pos - (k - 1 - j) * dilation, r) * c, c,
+                    axis=-1,
+                ).astype(x.dtype)[..., None, :]
+                for j in range(k - 1)
+            ]
+            xt = jnp.concatenate([*rows, x], axis=-1)  # [B, 1, k*Cin]
+        elif rmode == "dus":
+            rows = [
+                jax.lax.dynamic_slice_in_dim(
+                    state, jnp.mod(pos - (k - 1 - j) * dilation, r), 1, axis=-2
+                ).astype(x.dtype)
+                for j in range(k - 1)
+            ]
+            xt = jnp.concatenate([*rows, x], axis=-1)  # [B, 1, k*Cin]
+        else:
+            # one fused pass over the state: [k-1, R] one-hot contraction
+            # (each output row sums exactly one nonzero product -- exact)
+            sel = jnp.stack(
+                [jnp.mod(pos - (k - 1 - j) * dilation, r) == iota
+                 for j in range(k - 1)]
+            )  # [k-1, R] one-hot rows
+            taps = jnp.einsum(
+                "jr,brc->bjc", sel.astype(x.dtype), state.astype(x.dtype),
+                preferred_element_type=jnp.float32,
             ).astype(x.dtype)
-            for j in range(k - 1)
-        ]
-        xt = jnp.concatenate([*rows, x], axis=-1)  # [B, 1, k*Cin]
-        new_state = jax.lax.dynamic_update_slice_in_dim(
-            state, x.astype(state.dtype), jnp.mod(pos, r), axis=-2
-        )
+            xt = jnp.concatenate(
+                [taps.reshape(*x.shape[:-2], 1, (k - 1) * state.shape[-1]), x],
+                axis=-1,
+            )  # [B, 1, k*Cin]
+        if wmode == "flat":
+            c = state.shape[-1]
+            flat = state.reshape(*state.shape[:-2], r * c)
+            new_flat = jax.lax.dynamic_update_slice_in_dim(
+                flat, x[..., 0, :].astype(state.dtype), jnp.mod(pos, r) * c,
+                axis=-1,
+            )
+            new_state = new_flat.reshape(state.shape)
+        elif wmode == "dus":
+            new_state = jax.lax.dynamic_update_slice_in_dim(
+                state, x.astype(state.dtype), jnp.mod(pos, r), axis=-2
+            )
+        else:
+            # iota==pos predicated select: pure elementwise, fuses and
+            # updates in place under donation
+            new_state = jnp.where(
+                (iota == jnp.mod(pos, r))[:, None],
+                x.astype(state.dtype), state,
+            )
     else:
         full = jnp.concatenate([state.astype(x.dtype), x], axis=-2)
-        taps = [full[..., j * dilation: j * dilation + t, :] for j in range(k)]
-        xt = jnp.concatenate(taps, axis=-1)  # [B, T, k*Cin]
         # state dtype is sticky: a bf16-initialized carry stays bf16,
         # halving the per-tick HBM traffic of the streaming state
         new_state = full[..., t:, :].astype(state.dtype) if r else state
+        if t > 1 and _chunk_conv_mode() == "conv":
+            lhs = full
+            rhs = w  # [k, Cin, Cout] == WIO
+            if compute_dtype is not None:
+                lhs = lhs.astype(compute_dtype)
+                rhs = rhs.astype(compute_dtype)
+            bshape = lhs.shape[:-2]
+            lhs = lhs.reshape(-1, *lhs.shape[-2:])
+            y = jax.lax.conv_general_dilated(
+                lhs, rhs.astype(lhs.dtype), window_strides=(1,),
+                padding="VALID", rhs_dilation=(dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32,
+            ).reshape(*bshape, t, w.shape[2])
+            return y + b.astype(y.dtype), new_state
+        taps = [full[..., j * dilation: j * dilation + t, :] for j in range(k)]
+        xt = jnp.concatenate(taps, axis=-1)  # [B, T, k*Cin]
     wt = w.reshape(k * w.shape[1], w.shape[2])
     if compute_dtype is not None:
         xt = xt.astype(compute_dtype)

@@ -65,9 +65,12 @@ def init(key, cfg: PhoneExtractorConfig, dtype=jnp.float32):
     }
 
 
-def init_state(cfg: PhoneExtractorConfig, batch_shape=(), dtype=jnp.float32):
+def init_state(cfg: PhoneExtractorConfig, batch_shape=(), dtype=jnp.float32,
+               ring=False):
+    fe = cfg.frontend
     return {
-        "audio": jnp.zeros((*batch_shape, cfg.frontend.history), dtype),
+        "audio": (fe.ring_state(batch_shape, dtype) if ring else
+                  jnp.zeros((*batch_shape, fe.history), dtype)),
         "blocks": [
             layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d, dtype)
             for d in cfg.dilations
@@ -86,8 +89,11 @@ def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None,
     (layers.causal_conv) used by the serving engine.
     """
     fe = cfg.frontend
-    windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
-    mel = fe(windows)  # [B, T, n_mels]
+    if t_index is not None and state["audio"].shape[-1] == fe.ring_len:
+        mel, new_audio_hist = fe.mel_from_ring(state["audio"], audio, t_index)
+    else:
+        windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
+        mel = fe(windows)  # [B, T, n_mels]
     h = layers.linear(params["prenet"], mel, compute_dtype)
     new_block_states = []
     for p, s, d in zip(params["blocks"], state["blocks"], cfg.dilations):

@@ -64,9 +64,12 @@ def init(key, cfg: PitchEstimatorConfig, dtype=jnp.float32):
     }
 
 
-def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32):
+def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32,
+               ring=False):
+    fe = cfg.frontend
     return {
-        "audio": jnp.zeros((*batch_shape, cfg.frontend.history), dtype),
+        "audio": (fe.ring_state(batch_shape, dtype) if ring else
+                  jnp.zeros((*batch_shape, fe.history), dtype)),
         "blocks": [
             layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d, dtype)
             for d in cfg.dilations
@@ -84,8 +87,11 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
     restricted to [min, max] inclusive.
     """
     fe = cfg.frontend
-    windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
-    mel = fe(windows)
+    if t_index is not None and state["audio"].shape[-1] == fe.ring_len:
+        mel, new_audio_hist = fe.mel_from_ring(state["audio"], audio, t_index)
+    else:
+        windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
+        mel = fe(windows)
     h = layers.linear(params["prenet"], mel, compute_dtype)
     new_block_states = []
     for p, s, d in zip(params["blocks"], state["blocks"], cfg.dilations):

@@ -19,6 +19,7 @@ import dataclasses
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -77,17 +78,24 @@ class MelFrontend:
         return self.win - self.hop
 
     @functools.cached_property
-    def _consts(self):
+    def _consts_np(self):
         fmax = self.fmax if self.fmax is not None else self.sample_rate / 2.0
         w = hann_window(self.win).astype(np.float32)
         cos_m, sin_m = real_dft_matrices(self.win)
         mel = mel_filterbank(self.sample_rate, self.win, self.n_mels, self.fmin, fmax)
+        # Drop DFT bins the filterbank never reads (all-zero mel rows above
+        # fmax) -- exact, and with fmax well under Nyquist (the 4 kHz pitch
+        # front end) it halves the DFT matmul flops and the power
+        # intermediate at serving batch.
+        n_bins = int(np.max(np.nonzero(mel.any(axis=1))[0])) + 1 if mel.any() else 1
+        cos_m, sin_m, mel = cos_m[:, :n_bins], sin_m[:, :n_bins], mel[:n_bins]
         # Fold the window into the DFT bases so windowing is free.
-        return (
-            jnp.asarray(cos_m * w[:, None]),
-            jnp.asarray(sin_m * w[:, None]),
-            jnp.asarray(mel),
-        )
+        return cos_m * w[:, None], sin_m * w[:, None], mel
+
+    @functools.cached_property
+    def _consts(self):
+        cos_m, sin_m, mel = self._consts_np
+        return jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(mel)
 
     def __call__(self, frames):
         """[..., win] windowed raw audio -> [..., n_mels] log-mel."""
@@ -97,6 +105,71 @@ class MelFrontend:
         im = x @ sin_m
         power = re * re + im * im
         return jnp.log(jnp.maximum(power @ mel, self.log_floor))
+
+    # ------------------------------------------------ streaming ring path --
+
+    @property
+    def ring_slots(self) -> int:
+        """Hop-sized slots covering one analysis window (ceil(win/hop))."""
+        return -(-self.win // self.hop)
+
+    @property
+    def ring_len(self) -> int:
+        return self.ring_slots * self.hop
+
+    @functools.cached_property
+    def _ring_bases(self):
+        """Phase-indexed DFT bases over the hop-ring: [P, ring_len, bins].
+
+        The streaming step keeps the last P=ceil(win/hop) chunks in a ring
+        of hop-sized slots (ONE slot written per frame) instead of shifting
+        a [B, win-hop] history and materializing a [B, win] window each
+        tick (measured ~0.5 ms/tick at B=10240 on v5e).  Because the ring
+        rotation period is P, the window->ring permutation has exactly P
+        variants; each variant is folded into its own windowed-DFT basis
+        (rows for the <hop samples older than the window are ZERO, so the
+        result is exact), and the step one-hot-selects the phase's basis
+        and runs the same two matmuls directly on the ring.
+        """
+        cos_np, sin_np, _ = self._consts_np
+        p_n, hop, rl, win = self.ring_slots, self.hop, self.ring_len, self.win
+        nb = cos_np.shape[1]
+        cos_b = np.zeros((p_n, rl, nb), np.float32)
+        sin_b = np.zeros((p_n, rl, nb), np.float32)
+        for p in range(p_n):
+            for q in range(p_n):
+                age = (p - q) % p_n  # 0 == the slot just written
+                w0 = (p_n - 1 - age) * hop - (rl - win)
+                for i in range(hop):
+                    w = w0 + i
+                    if w >= 0:
+                        cos_b[p, q * hop + i] = cos_np[w]
+                        sin_b[p, q * hop + i] = sin_np[w]
+        return jnp.asarray(cos_b), jnp.asarray(sin_b)
+
+    def ring_state(self, batch_shape=(), dtype=jnp.float32):
+        return jnp.zeros((*batch_shape, self.ring_len), dtype)
+
+    def mel_from_ring(self, ring, chunk, pos):
+        """One streaming frame: write `chunk` [..., hop] into the ring
+        [..., ring_len] at slot pos%P, return (log-mel [..., 1, n_mels],
+        new_ring).  Exactly equals frames_from_chunk+__call__ from the
+        matching history (same products; zero rows contribute nothing)."""
+        cos_b, sin_b = self._ring_bases
+        _, _, mel = self._consts
+        phase = jnp.mod(jnp.asarray(pos, jnp.int32), self.ring_slots)
+        new_ring = jax.lax.dynamic_update_slice_in_dim(
+            ring, chunk.astype(ring.dtype), phase * self.hop, axis=-1
+        )
+        oh = jax.nn.one_hot(phase, self.ring_slots, dtype=cos_b.dtype)  # [P]
+        w_cos = jnp.einsum("p,pwk->wk", oh, cos_b)
+        w_sin = jnp.einsum("p,pwk->wk", oh, sin_b)
+        x = new_ring.astype(w_cos.dtype)
+        re = x @ w_cos
+        im = x @ w_sin
+        power = re * re + im * im
+        out = jnp.log(jnp.maximum(power @ mel, self.log_floor))
+        return out[..., None, :], new_ring
 
     def frames_from_chunk(self, history, chunk):
         """Slice a [..., T*hop] chunk plus [..., history] left-context into

@@ -124,7 +124,10 @@ def init_engine_state(cfg: EngineConfig):
     rs_in = input_resampler_48k_to_16k(cfg.frames_per_tick)
     rs_out = output_resampler_24k_to_48k(cfg.frames_per_tick)
     spec = cfg.spec
-    model_state = chain.init_state(cfg.model, b)
+    # frames_per_tick==1 is the T=1 serving path: ring conventions for both
+    # the conv-state carries (t_index in engine_tick) and the frontend
+    # audio history (hop-ring, ops/frontend.py mel_from_ring)
+    model_state = chain.init_state(cfg.model, b, ring=cfg.frames_per_tick == 1)
     cond_dtype = jnp.float32
     if cfg.dtype is not None:
         model_state = _cast_activation_state(model_state, cfg.dtype)
@@ -145,6 +148,9 @@ def init_engine_state(cfg: EngineConfig):
         "tick_idx": jnp.zeros((), jnp.uint32),
         "morphed": {
             "additive": jnp.zeros((cfg.capacity, cfg.model.wg.hidden), jnp.float32),
+            # pruned morph weights at the top-8 indices, cached here so the
+            # per-tick lottery never re-reads the [B, 256] weight rows
+            "w8": jnp.zeros((cfg.capacity, 8), jnp.float32),
         },
     }
     if spec.has_kv:
@@ -221,6 +227,7 @@ def _build_cond(cfg: EngineConfig, bank, state, params=None):
         pruned_weights=c["morph_weights"],
         top_idx=c["morph_top_idx"],
         include_kv=False,
+        w8=state["morphed"].get("w8"),
     )
     cond = {
         "speaker_embedding": additive,
@@ -358,6 +365,8 @@ def refresh_morphed(state, bank, idx):
     pruned = c["morph_weights"][idx]
     top = c["morph_top_idx"][idx]
     m = morpher.update_morphed_embeddings(bank, pruned, top)
+    # event-time take_along on a few rows; read per tick by the lottery
+    m["w8"] = jnp.take_along_axis(pruned, top, axis=-1)
     morphed = dict(state["morphed"])
     for k in morphed:
         morphed[k] = morphed[k].at[idx].set(m[k].astype(morphed[k].dtype))
@@ -522,10 +531,13 @@ class StreamEngine:
         if not self._free:
             raise RuntimeError("stream capacity exhausted")
         idx = self._free.pop()
-        # fresh slots are already zero; recycled slots reset lazily in one
-        # batched masked update at the next flush (tunnel-dispatch friendly)
-        if self._slot_used[idx]:
-            self._pending_reset.add(idx)
+        # always reset on admission (lazily, in one batched masked update at
+        # the next flush): inactive rows still run the model on whatever the
+        # host left in their input rows (only the OUTPUT is masked), so even
+        # a never-used slot may hold garbage-driven carries -- and a
+        # recycled slot must not leak the previous tenant's audio context
+        # into the new stream (processor.cc:88-98 ResetContext semantics)
+        self._pending_reset.add(idx)
         self._slot_used[idx] = True
         self.stage.stage(idx, "active", True)
         self._kv_dirty.add(idx)

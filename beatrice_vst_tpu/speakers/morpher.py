@@ -61,7 +61,8 @@ def update_morphed_embeddings(bank, pruned_weights, top_idx,
     return out
 
 
-def codebook_lottery(pruned_weights, top_idx, n_speakers, frame_counter):
+def codebook_lottery(pruned_weights, top_idx, n_speakers, frame_counter,
+                     w8=None):
     """Per-frame weighted random codebook selection
     (processor_core_2.cc:93-121): returns a speaker index [B] (or [B, T]).
 
@@ -69,14 +70,16 @@ def codebook_lottery(pruned_weights, top_idx, n_speakers, frame_counter):
     frame_counter: [B] or [B, T] uint32 absolute frame index (drives the
     deterministic per-stream RNG -- the reference uses a per-core mt19937).
 
-    This runs every tick for every stream, so the [B, 8] row gathers are
-    expressed as one-hot contractions: a single take_along_axis here
-    measured 0.5 ms/tick at 6144 streams (the documented TPU gather cliff),
-    vs ~10 us for the [B, 8, S] masked reduction.
+    w8 (optional [B, 8]): pruned_weights at top_idx, precomputed.  The
+    weights only change on morph control events, so the serving engine
+    caches w8 in state (refresh_morphed) -- re-deriving it per tick cost
+    0.25 ms at B=10240 even as a one-hot contraction (take_along_axis was
+    0.5 ms at 6144, the documented TPU gather cliff).
     """
-    s = pruned_weights.shape[-1]
-    oh8 = jax.nn.one_hot(top_idx, s, dtype=pruned_weights.dtype)  # [B, 8, S]
-    w8 = jnp.einsum("bks,bs->bk", oh8, pruned_weights)  # == take_along_axis
+    if w8 is None:
+        s = pruned_weights.shape[-1]
+        oh8 = jax.nn.one_hot(top_idx, s, dtype=pruned_weights.dtype)
+        w8 = jnp.einsum("bks,bs->bk", oh8, pruned_weights)  # == take_along
     total = jnp.sum(w8, axis=-1)  # [B]
     u = (hash_noise(frame_counter, 1, LOTTERY_SALT)[..., 0] + 1.0) * 0.5  # [B(,T)] in [0,1)
     if frame_counter.ndim > 1:
@@ -102,7 +105,7 @@ def codebook_lottery(pruned_weights, top_idx, n_speakers, frame_counter):
 
 def select_conditioning(bank, target_speaker, morphed, formant_index,
                         frame_counter=None, pruned_weights=None, top_idx=None,
-                        include_kv=True):
+                        include_kv=True, w8=None):
     """Resolve per-stream speaker conditioning, mirroring
     SetTargetSpeaker / the morph branch of Process1
     (processor_core_2.cc:431-466, 50-181).
@@ -118,10 +121,21 @@ def select_conditioning(bank, target_speaker, morphed, formant_index,
     n = bank["additive"].shape[0]
     is_morph = target_speaker >= n
     direct = jnp.clip(target_speaker, 0, n - 1)
+    # per-tick [B]-row gathers hit the documented TPU gather cliff; the
+    # tables are tiny (<=256 rows), so one-hot matmuls are exact (each
+    # output row sums exactly one nonzero product) and ride the MXU
+    oh = jax.nn.one_hot(direct, n, dtype=bank["additive"].dtype)  # [B, S]
+    direct_add = jnp.einsum("bs,sc->bc", oh, bank["additive"],
+                            preferred_element_type=jnp.float32)
     additive = jnp.where(
-        is_morph[:, None], morphed["additive"], bank["additive"][direct]
+        is_morph[:, None], morphed["additive"].astype(jnp.float32), direct_add
     )
-    additive = additive + bank["formant"][jnp.clip(formant_index, 0, 8)]
+    oh_f = jax.nn.one_hot(jnp.clip(formant_index, 0, 8), 9,
+                          dtype=bank["formant"].dtype)  # [B, 9]
+    # stays f32 like the gather formulation (where() promoted against the
+    # f32 morphed row); the chain casts to compute dtype at its inputs
+    additive = additive + jnp.einsum("bf,fc->bc", oh_f, bank["formant"],
+                                     preferred_element_type=jnp.float32)
     kv = None
     if "kv" in bank and include_kv:
         kv = jnp.where(
@@ -133,7 +147,8 @@ def select_conditioning(bank, target_speaker, morphed, formant_index,
             cb_idx = direct
         else:
             n_spk = jnp.full_like(target_speaker, n)
-            lottery = codebook_lottery(pruned_weights, top_idx, n_spk, frame_counter)
+            lottery = codebook_lottery(pruned_weights, top_idx, n_spk,
+                                       frame_counter, w8=w8)
             if frame_counter.ndim > 1:
                 direct_b = direct[:, None]
                 is_morph_b = is_morph[:, None]

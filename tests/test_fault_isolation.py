@@ -72,6 +72,42 @@ def test_inf_and_huge_amplitude_stay_finite():
         assert np.abs(out).max() <= 1.0
 
 
+def test_midflight_admission_equals_fresh_admission():
+    """A stream admitted at an arbitrary tick must behave exactly like one
+    admitted at tick 0: admission always resets the slot's carries, so junk
+    the host left in unadmitted input rows (only outputs are masked) never
+    leaks into a new stream, and the ring conv-state convention must be
+    origin-independent (zero rows read as zeros at any tick_idx)."""
+    cap, warm, blocks = 3, 13, 20
+    rng = np.random.default_rng(7)
+    sig = tone_blocks(blocks, 1)[0]
+
+    eng_a = make_engine(cap)
+    # run unadmitted for a while with garbage in EVERY input row
+    for b in range(warm):
+        junk = rng.standard_normal((cap, 480)).astype(np.float32)
+        out = np.asarray(eng_a.tick(jnp.asarray(junk)))
+        assert np.abs(out).max() == 0.0  # nothing admitted -> silence
+    ia = eng_a.admit()
+
+    eng_b = make_engine(cap)
+    ib = eng_b.admit()
+
+    out_a, out_b = [], []
+    for b in range(blocks):
+        xa = rng.standard_normal((cap, 480)).astype(np.float32)
+        xb = rng.standard_normal((cap, 480)).astype(np.float32)
+        xa[ia] = xb[ib] = sig[b * 480:(b + 1) * 480]
+        out_a.append(np.asarray(eng_a.tick(jnp.asarray(xa)))[ia])
+        out_b.append(np.asarray(eng_b.tick(jnp.asarray(xb)))[ib])
+    a = np.concatenate(out_a)
+    b_ = np.concatenate(out_b)
+    assert np.abs(b_).max() > 1e-6
+    # same math at a different ring origin: tolerance only for fusion-order
+    # float drift, not for state leakage (leaked junk would blow past this)
+    np.testing.assert_allclose(a, b_, rtol=2e-4, atol=6e-5)
+
+
 def test_poisoned_stream_recovers_after_clean_input():
     """After the hostile input stops, the stream must produce normal audio
     again (no NaN persisted in its state)."""

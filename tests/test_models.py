@@ -68,7 +68,7 @@ def test_ring_step_equals_chunk(spec):
     cfg, params, state, cond, audio = make(spec)
     chunk_out, chunk_state = chain.apply(params, cfg, audio, state, cond)
     outs = []
-    st = state
+    st = chain.init_state(cfg, (B,), ring=True)  # hop-ring audio history
     for i in range(T):
         o, st = chain.apply(
             params, cfg, audio[:, i * 160:(i + 1) * 160], st, cond,
