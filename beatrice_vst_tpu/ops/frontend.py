@@ -134,18 +134,19 @@ class MelFrontend:
         cos_np, sin_np, _ = self._consts_np
         p_n, hop, rl, win = self.ring_slots, self.hop, self.ring_len, self.win
         nb = cos_np.shape[1]
-        cos_b = np.zeros((p_n, rl, nb), np.float32)
-        sin_b = np.zeros((p_n, rl, nb), np.float32)
-        for p in range(p_n):
-            for q in range(p_n):
-                age = (p - q) % p_n  # 0 == the slot just written
-                w0 = (p_n - 1 - age) * hop - (rl - win)
-                for i in range(hop):
-                    w = w0 + i
-                    if w >= 0:
-                        cos_b[p, q * hop + i] = cos_np[w]
-                        sin_b[p, q * hop + i] = sin_np[w]
-        return jnp.asarray(cos_b), jnp.asarray(sin_b)
+        # ONE time-ordered base (slot j = j-th oldest chunk): the windowed
+        # DFT rows zero-padded at the front for the <hop samples older than
+        # the window.  Every phase's basis is a slot-block rotation of this
+        # (selected per tick with a [P, P] one-hot matmul), so only
+        # ring_len*bins floats embed in the compiled program instead of P
+        # times that -- the P-variant form added ~16 MB of serialized
+        # constants and ~55 s to the first compile through the dev relay.
+        base = np.zeros((rl, nb), np.float32)
+        base[rl - win:] = cos_np
+        sbase = np.zeros((rl, nb), np.float32)
+        sbase[rl - win:] = sin_np
+        return (jnp.asarray(base.reshape(p_n, hop, nb)),
+                jnp.asarray(sbase.reshape(p_n, hop, nb)))
 
     def ring_state(self, batch_shape=(), dtype=jnp.float32):
         return jnp.zeros((*batch_shape, self.ring_len), dtype)
@@ -155,15 +156,22 @@ class MelFrontend:
         [..., ring_len] at slot pos%P, return (log-mel [..., 1, n_mels],
         new_ring).  Exactly equals frames_from_chunk+__call__ from the
         matching history (same products; zero rows contribute nothing)."""
-        cos_b, sin_b = self._ring_bases
+        cos_b, sin_b = self._ring_bases  # [P, hop, nb] time-ordered
         _, _, mel = self._consts
-        phase = jnp.mod(jnp.asarray(pos, jnp.int32), self.ring_slots)
+        p_n = self.ring_slots
+        phase = jnp.mod(jnp.asarray(pos, jnp.int32), p_n)
         new_ring = jax.lax.dynamic_update_slice_in_dim(
             ring, chunk.astype(ring.dtype), phase * self.hop, axis=-1
         )
-        oh = jax.nn.one_hot(phase, self.ring_slots, dtype=cos_b.dtype)  # [P]
-        w_cos = jnp.einsum("p,pwk->wk", oh, cos_b)
-        w_sin = jnp.einsum("p,pwk->wk", oh, sin_b)
+        # ring slot q holds the chunk of age (phase - q) mod P, i.e. the
+        # (q - phase - 1) mod P -th oldest: rotate the base's slot blocks
+        rot = jax.nn.one_hot(
+            jnp.mod(jnp.arange(p_n) - phase - 1, p_n), p_n, dtype=cos_b.dtype
+        )  # [Q, J]
+        w_cos = jnp.einsum("qj,jhk->qhk", rot, cos_b).reshape(
+            self.ring_len, -1)
+        w_sin = jnp.einsum("qj,jhk->qhk", rot, sin_b).reshape(
+            self.ring_len, -1)
         x = new_ring.astype(w_cos.dtype)
         re = x @ w_cos
         im = x @ w_sin
