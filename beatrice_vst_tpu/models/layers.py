@@ -89,7 +89,7 @@ def _ring_mode() -> tuple[str, str]:
     """(read, write) formulations for the ring step, for on-chip A/B:
     'dus' = dynamic_(update_)slice, 'select' = one-hot contraction reads /
     predicated-where write.  Env BEATRICE_RING_MODE, e.g. 'dus,select'."""
-    v = os.environ.get("BEATRICE_RING_MODE", "dus,select")
+    v = os.environ.get("BEATRICE_RING_MODE", "dus,dus")
     parts = v.split(",")
     return (parts[0], parts[-1]) if len(parts) > 1 else (parts[0], parts[0])
 
