@@ -94,6 +94,28 @@ def _ring_mode() -> tuple[str, str]:
     return (parts[0], parts[-1]) if len(parts) > 1 else (parts[0], parts[0])
 
 
+@functools.lru_cache(maxsize=None)
+def _ring_mode_for(r: int) -> tuple[str, str]:
+    """Per-R (read, write) override: BEATRICE_RING_MODES='2:dus,select;24:…'
+    falls back to _ring_mode().  Different buffer shapes hit different
+    backend pathologies (see CLAUDE.md), so the formulation is tuned per
+    ring size, statically."""
+    # measured per-R defaults on v5e (see CLAUDE.md): the R=2 buffer's
+    # standalone dynamic_update_slice cost 0.39 ms at B=12288 while its
+    # predicated-select rewrite is ~30 us; select/flat regressed for every
+    # other R (3: +0.5 ms, 24 flat write: +0.55, 24 flat read: +0.15)
+    overrides = os.environ.get("BEATRICE_RING_MODES", "2:dus,select")
+    for item in overrides.split(";"):
+        if not item:
+            continue
+        key, _, modes = item.partition(":")
+        if int(key) == r:
+            parts = modes.split(",")
+            return (parts[0], parts[-1]) if len(parts) > 1 else (
+                parts[0], parts[0])
+    return _ring_mode()
+
+
 @functools.lru_cache(maxsize=1)
 def _ring_min_r() -> int:
     """Rows below which the ring step falls back to the linear shift
@@ -141,7 +163,7 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
     r = state.shape[-2]
     if ring_pos is not None and r and t == 1 and r >= _ring_min_r():
         pos = jnp.asarray(ring_pos, jnp.int32)
-        rmode, wmode = _ring_mode()
+        rmode, wmode = _ring_mode_for(r)
         iota = jax.lax.iota(jnp.int32, r)  # [R]
         if rmode == "flat":
             # address the ring on the LANE axis: [B, R, C] viewed as
@@ -181,7 +203,16 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
                 [taps.reshape(*x.shape[:-2], 1, (k - 1) * state.shape[-1]), x],
                 axis=-1,
             )  # [B, 1, k*Cin]
-        if wmode == "flat":
+        if wmode == "dusb":
+            # dus, but with the written row tied to the tap reads by an
+            # optimization barrier: the scheduler then knows every read of
+            # the old buffer precedes the write, enabling in-place update
+            # of the donated buffer instead of a defensive whole-buffer copy
+            xw = jax.lax.optimization_barrier((x, xt))[0]
+            new_state = jax.lax.dynamic_update_slice_in_dim(
+                state, xw.astype(state.dtype), jnp.mod(pos, r), axis=-2
+            )
+        elif wmode == "flat":
             c = state.shape[-1]
             flat = state.reshape(*state.shape[:-2], r * c)
             new_flat = jax.lax.dynamic_update_slice_in_dim(

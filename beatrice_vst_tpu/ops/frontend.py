@@ -92,8 +92,13 @@ class MelFrontend:
         # Fold the window into the DFT bases so windowing is free.
         return cos_m * w[:, None], sin_m * w[:, None], mel
 
-    @functools.cached_property
+    @property
     def _consts(self):
+        # converted per call, NEVER cached as jnp: a jnp array created
+        # inside a jit trace is a tracer, and caching one on this
+        # long-lived object leaks it across traces (UnexpectedTracerError).
+        # Under jit the conversion is a free constant; only eager callers
+        # pay a (small) repeat transfer.
         cos_m, sin_m, mel = self._consts_np
         return jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(mel)
 
@@ -145,8 +150,8 @@ class MelFrontend:
         base[rl - win:] = cos_np
         sbase = np.zeros((rl, nb), np.float32)
         sbase[rl - win:] = sin_np
-        return (jnp.asarray(base.reshape(p_n, hop, nb)),
-                jnp.asarray(sbase.reshape(p_n, hop, nb)))
+        # host numpy (never cached jnp -- see _consts)
+        return base.reshape(p_n, hop, nb), sbase.reshape(p_n, hop, nb)
 
     def ring_state(self, batch_shape=(), dtype=jnp.float32):
         return jnp.zeros((*batch_shape, self.ring_len), dtype)
@@ -156,7 +161,8 @@ class MelFrontend:
         [..., ring_len] at slot pos%P, return (log-mel [..., 1, n_mels],
         new_ring).  Exactly equals frames_from_chunk+__call__ from the
         matching history (same products; zero rows contribute nothing)."""
-        cos_b, sin_b = self._ring_bases  # [P, hop, nb] time-ordered
+        cos_np, sin_np = self._ring_bases  # [P, hop, nb] time-ordered
+        cos_b, sin_b = jnp.asarray(cos_np), jnp.asarray(sin_np)
         _, _, mel = self._consts
         p_n = self.ring_slots
         phase = jnp.mod(jnp.asarray(pos, jnp.int32), p_n)

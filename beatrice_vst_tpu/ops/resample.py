@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import math
 
 import numpy as np
@@ -128,6 +129,33 @@ class Resampler:
     def history_len(self) -> int:
         return self._table[2]
 
+    @functools.cached_property
+    def _dense(self):
+        """Banded resampling matrix S [hist+in_block, out_block]:
+        y = [history | x] @ S.  Identical products to the tap loop (same
+        weights, same input indices) accumulated by the MXU; the banded
+        zeros are free at these sizes (the 48k->16k edge is a
+        [B,528]x[528,160] matmul, ~2 Gflop at B=12288).  The
+        phase-decomposed slice form cost ~0.5 ms/tick at B=12288 (stride
+        relayouts); this is ~45 us."""
+        W, K, hist, _ = self._table
+        n_j = self.out_block // self.L
+        S = np.zeros((hist + self.in_block, self.out_block), np.float32)
+        for r in range(self.L):
+            base_r = (r * self.M) // self.L
+            w_row = W[(r * self.M) % self.L]
+            for k in range(K):
+                w = float(w_row[k])
+                if w == 0.0:
+                    continue
+                for q in range(n_j):
+                    S[hist + base_r - k + q * self.M, q * self.L + r] += w
+        # host numpy, NEVER jnp: this property is cached on a long-lived
+        # instance and may first evaluate inside a jit trace, where a jnp
+        # constant is a tracer -- caching it leaks it across traces
+        # (UnexpectedTracerError; same pitfall note as design_polyphase)
+        return S
+
     @property
     def delay_in_samples(self) -> int:
         """Causal latency in *input-rate* samples (sinc group delay)."""
@@ -148,14 +176,22 @@ class Resampler:
     def apply_block(self, x, history):
         """[..., in_block] + [..., hist] -> ([..., out_block], new history).
 
-        Phase-decomposed evaluation: outputs of phase p are strided (every
-        M-th input) slices weighted by scalar taps, so the whole block is
-        L*K strided slices + fused multiply-adds -- no gather ops, which
-        keeps both XLA compile time and TPU runtime low (a [n_out, K]
-        index gather here was a compile-time cliff on the Mosaic backend).
+        Default ('dense'): one banded-matrix matmul (see _dense).  Fallback
+        (BEATRICE_RESAMPLE_MODE=slices): phase-decomposed evaluation --
+        outputs of phase p are strided slices weighted by scalar taps, L*K
+        slices + fused multiply-adds, no gather ops (a [n_out, K] index
+        gather here was a compile-time cliff on the Mosaic backend; the
+        slice form in turn lost ~1.4 ms/tick at B=12288 to relayouts vs
+        the matmul).
         """
         W, K, hist, _ = self._table
         full = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
+        if os.environ.get("BEATRICE_RESAMPLE_MODE", "dense") == "dense":
+            y = jnp.dot(
+                full, jnp.asarray(self._dense).astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            return y, full[..., full.shape[-1] - hist:]
         n_j = self.out_block // self.L  # outputs per residue class
         M = self.M
         res = None

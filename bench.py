@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 CAPACITIES = tuple(
-    int(c) for c in os.environ.get("BENCH_CAPACITIES", "10240,11264,12288").split(",")
+    int(c) for c in os.environ.get("BENCH_CAPACITIES", "12288,13312,14336").split(",")
 )
 N_WINDOWS = 4
 TICKS_PER_WINDOW = 50
