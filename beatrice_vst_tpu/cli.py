@@ -70,11 +70,21 @@ def cmd_convert(args):
         morph_weights=morph,
     )
     t0 = time.perf_counter()
-    out = convert_utterance(
-        params, model_cfg, bank, audio, sr, settings,
-        out_sample_rate=args.output_rate or sr,
-        compute_dtype=args.dtype,
-    )
+    if getattr(args, "seq_parallel", 0):
+        from .runtime.seqpar import convert_utterance_sp
+
+        out = convert_utterance_sp(
+            params, model_cfg, bank, audio, sr, settings,
+            n_segments=args.seq_parallel,
+            out_sample_rate=args.output_rate or sr,
+            compute_dtype=args.dtype,
+        )
+    else:
+        out = convert_utterance(
+            params, model_cfg, bank, audio, sr, settings,
+            out_sample_rate=args.output_rate or sr,
+            compute_dtype=args.dtype,
+        )
     dt = time.perf_counter() - t0
     write_wav(args.output, out, args.output_rate or sr)
     dur = len(audio) / sr
@@ -170,6 +180,9 @@ def main(argv=None):
     pc.add_argument("--vq-neighbors", type=int, default=0)
     pc.add_argument("--output-rate", type=int, default=None)
     pc.add_argument("--dtype", default=None, choices=[None, "bfloat16"], nargs="?")
+    pc.add_argument("--seq-parallel", type=int, default=0, metavar="N",
+                    help="split the utterance into N sequence-parallel "
+                         "segments (runtime/seqpar.py; exact to <1e-3)")
     pc.set_defaults(fn=cmd_convert)
 
     pt = sub.add_parser("train", help="distillation training loop")

@@ -74,7 +74,8 @@ def init_state(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32,
                                             ring=ring),
         "pitch": pitch_estimator.init_state(cfg.pitch, batch_shape, dtype,
                                             ring=ring),
-        "wg": waveform_generator.init_state(cfg.wg, batch_shape, dtype),
+        "wg": waveform_generator.init_state(cfg.wg, batch_shape, dtype,
+                                            ring=ring),
     }
 
 
@@ -102,7 +103,7 @@ def default_cond(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
 
 
 def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
-          compute_dtype=None, t_index=None):
+          compute_dtype=None, t_index=None, vq_int8_query: bool = False):
     """audio16: [B, T*160] @16 kHz -> (audio24 [B, T*240] @24 kHz, state).
 
     t_index: optional scalar absolute frame index (T=1 only) -- switches
@@ -127,6 +128,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
                     phone, cond["codebook_bank"], cond["codebook_idx"],
                     cond["vq_num_neighbors"],
                     codebook_scale=cond.get("codebook_bank_scale"),
+                    int8_query=vq_int8_query,
                 )
             else:
                 phone = phone_extractor.vq_knn_smooth_bank(

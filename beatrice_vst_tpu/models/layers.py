@@ -80,8 +80,30 @@ def causal_conv_init(key, k, in_dim, out_dim, dilation=1, dtype=jnp.float32):
     }
 
 
-def causal_conv_state(batch_shape, k, in_dim, dilation=1, dtype=jnp.float32):
-    return jnp.zeros((*batch_shape, (k - 1) * dilation, in_dim), dtype)
+def causal_conv_state(batch_shape, k, in_dim, dilation=1, dtype=jnp.float32,
+                      ring=False):
+    """Conv history carry.  Linear convention (and the default ring
+    layout): [*batch, R, Cin].  With ring=True and
+    BEATRICE_RING_LAYOUT=rmajor the ring is stored ring-major [R, *batch,
+    Cin]: the per-tick row write becomes a *leading-axis*
+    dynamic-update-slice of a contiguous, tile-aligned [1, B, C] block --
+    the classic KV-cache update pattern the backend updates in place --
+    instead of a sublane-strided row write that forced a defensive copy of
+    the whole buffer (0.44 ms/tick for the [B, 24, 256] phone-d8 ring at
+    B=14336 on v5e, plus 0.24 ms of strided tap reads)."""
+    r = (k - 1) * dilation
+    if ring and _ring_layout() == "rmajor":
+        return jnp.zeros((r, *batch_shape, in_dim), dtype)
+    return jnp.zeros((*batch_shape, r, in_dim), dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _ring_layout() -> str:
+    """Ring-buffer storage layout: 'bmajor' = [*batch, R, C] (same shape as
+    the linear convention), 'rmajor' = [R, *batch, C] (leading-axis row
+    writes; see causal_conv_state).  Process-wide: states are created and
+    consumed under the same value."""
+    return os.environ.get("BEATRICE_RING_LAYOUT", "bmajor")
 
 
 @functools.lru_cache(maxsize=1)
@@ -160,6 +182,33 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
     w, b = params["w"], params["b"]
     k = w.shape[0]
     t = x.shape[-2]
+    r_exp = (k - 1) * dilation
+    if (ring_pos is not None and t == 1 and r_exp
+            and _ring_layout() == "rmajor" and state.shape[0] == r_exp):
+        # ring-major [R, *batch, C] layout (see causal_conv_state): row
+        # reads/writes are leading-axis slices of contiguous [1, B, C]
+        # blocks -- tile-aligned, in-place under donation.  The size-1
+        # leading-axis moves below are pure reshapes.
+        r = r_exp
+        c = state.shape[-1]
+        pos = jnp.asarray(ring_pos, jnp.int32)
+        rows = [
+            jax.lax.dynamic_slice_in_dim(
+                state, jnp.mod(pos - (k - 1 - j) * dilation, r), 1, axis=0
+            ).reshape(*x.shape[:-2], 1, c).astype(x.dtype)
+            for j in range(k - 1)
+        ]
+        xt = jnp.concatenate([*rows, x], axis=-1)  # [B, 1, k*Cin]
+        new_state = jax.lax.dynamic_update_slice_in_dim(
+            state, x.reshape(1, *x.shape[:-2], c).astype(state.dtype),
+            jnp.mod(pos, r), axis=0,
+        )
+        wt = w.reshape(k * w.shape[1], w.shape[2])
+        if compute_dtype is not None:
+            xt = xt.astype(compute_dtype)
+            wt = wt.astype(compute_dtype)
+        y = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
+        return y + b.astype(y.dtype), new_state
     r = state.shape[-2]
     if ring_pos is not None and r and t == 1 and r >= _ring_min_r():
         pos = jnp.asarray(ring_pos, jnp.int32)
@@ -239,16 +288,23 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
         if t > 1 and _chunk_conv_mode() == "conv":
             lhs = full
             rhs = w  # [k, Cin, Cout] == WIO
+            out_dt = jnp.float32
             if compute_dtype is not None:
                 lhs = lhs.astype(compute_dtype)
                 rhs = rhs.astype(compute_dtype)
+                # emit the conv output in the compute dtype directly: the
+                # MXU still accumulates f32 internally, but the backend
+                # does NOT fuse a downstream convert into its conv
+                # epilogue, so asking for f32 out materializes double-width
+                # [B, T, C] buffers at the fine upsampler rates
+                out_dt = compute_dtype
             bshape = lhs.shape[:-2]
             lhs = lhs.reshape(-1, *lhs.shape[-2:])
             y = jax.lax.conv_general_dilated(
                 lhs, rhs.astype(lhs.dtype), window_strides=(1,),
                 padding="VALID", rhs_dilation=(dilation,),
                 dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=out_dt,
             ).reshape(*bshape, t, w.shape[2])
             return y + b.astype(y.dtype), new_state
         taps = [full[..., j * dilation: j * dilation + t, :] for j in range(k)]
@@ -276,8 +332,9 @@ def conv_block_init(key, dim, k=4, dilation=1, mlp_ratio=2, dtype=jnp.float32):
     }
 
 
-def conv_block_state(batch_shape, dim, k=4, dilation=1, dtype=jnp.float32):
-    return causal_conv_state(batch_shape, k, dim, dilation, dtype)
+def conv_block_state(batch_shape, dim, k=4, dilation=1, dtype=jnp.float32,
+                     ring=False):
+    return causal_conv_state(batch_shape, k, dim, dilation, dtype, ring=ring)
 
 
 def conv_block(params, x, state, dilation=1, compute_dtype=None,
@@ -401,6 +458,49 @@ def cross_attention_slots(params, x, k_z, v_z, onehot, compute_dtype=None):
     o = jnp.einsum("btza,bz->bta", tmp.astype(q.dtype), oh,
                    preferred_element_type=jnp.float32)
     o = linear(params["o"], o.astype(q.dtype), compute_dtype)
+    return x + o.astype(x.dtype)
+
+
+def cross_attention_slots_q8(params, x, k_q, k_scale, v_q, v_scale, onehot,
+                             compute_dtype=None):
+    """cross_attention_slots with an int8 slot bank AND int8 contractions.
+
+    k_q/v_q: [Z, L, A] int8; k_scale/v_scale: [Z, L, 1] f32 per-row scales;
+    onehot: [B, Z].  Beyond halving the bank bytes, the two big
+    contractions (B*Z*L*A MACs each -- the flop-bound part of the slot
+    attention, ~0.65 ms/tick at B=12288, Z=32 in bf16) run as
+    int8 x int8 -> int32 dots, which the MXU executes at 2x the bf16 rate.
+    The one-hot mask multiplies stay exact in int8 (0/1 factors); the
+    query and the softmax-weight rows are quantized with per-row scales
+    folded back outside the dots, bounding the deviation to the same
+    order as the engine's existing int8 conditioning (~0.5% per row).
+    """
+    h = layer_norm(params["ln"], x)
+    q = linear(params["q"], h, compute_dtype)  # [B, T, A]
+    a = q.shape[-1]
+    q32 = q.astype(jnp.float32)
+    qs = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1, keepdims=True), 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(q32 / qs), -127, 127).astype(jnp.int8)
+    oh8 = onehot.astype(jnp.int8)
+    mq8 = oh8[:, None, :, None] * q8[:, :, None, :]  # [B, T, Z, A] int8
+    si = jnp.einsum("btza,zla->btl", mq8, k_q,
+                    preferred_element_type=jnp.int32)
+    ks_sel = jnp.einsum("bz,zl->bl", onehot, k_scale[..., 0],
+                        preferred_element_type=jnp.float32)  # [B, L]
+    scores = si.astype(jnp.float32) * (qs * ks_sel[:, None, :]) / math.sqrt(a)
+    w = jax.nn.softmax(scores, axis=-1)  # [B, T, L] f32
+    vs_sel = jnp.einsum("bz,zl->bl", onehot, v_scale[..., 0],
+                        preferred_element_type=jnp.float32)
+    wv = w * vs_sel[:, None, :]
+    ws = jnp.maximum(jnp.max(jnp.abs(wv), axis=-1, keepdims=True), 1e-12) / 127.0
+    wv8 = jnp.clip(jnp.round(wv / ws), -127, 127).astype(jnp.int8)
+    tv = jnp.einsum("btl,zla->btza", wv8, v_q,
+                    preferred_element_type=jnp.int32)  # [B, T, Z, A]
+    o = jnp.einsum("btza,bz->bta", tv.astype(jnp.float32), onehot,
+                   preferred_element_type=jnp.float32) * ws
+    if compute_dtype is not None:
+        o = o.astype(compute_dtype)
+    o = linear(params["o"], o, compute_dtype)
     return x + o.astype(x.dtype)
 
 

@@ -72,7 +72,8 @@ def init_state(cfg: PhoneExtractorConfig, batch_shape=(), dtype=jnp.float32,
         "audio": (fe.ring_state(batch_shape, dtype) if ring else
                   jnp.zeros((*batch_shape, fe.history), dtype)),
         "blocks": [
-            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d, dtype)
+            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d,
+                                    dtype, ring=ring)
             for d in cfg.dilations
         ],
     }
@@ -201,7 +202,8 @@ def vq_knn_smooth_bank(phone, bank_codebooks, codebook_idx, num_neighbors,
 
 
 def vq_knn_smooth_shared(phone, bank_codebooks, codebook_idx, num_neighbors,
-                         max_neighbors: int = 8, codebook_scale=None):
+                         max_neighbors: int = 8, codebook_scale=None,
+                         int8_query: bool = False):
     """Gather-free k-NN phone smoothing against the *shared* codebook bank.
 
     phone: [B, T, C]; bank_codebooks: [S, K, C] (whole-model bank, bf16 or
@@ -236,20 +238,42 @@ def vq_knn_smooth_shared(phone, bank_codebooks, codebook_idx, num_neighbors,
         query = phone.astype(bank_codebooks.dtype)
     onehot = jax.nn.one_hot(codebook_idx, s, dtype=query.dtype)  # [B, S]
 
-    c2_all = jnp.einsum("skc,skc->sk", cb, cb,
-                        preferred_element_type=jnp.float32)  # [S, K]
     if codebook_scale is not None:
         sc = codebook_scale[..., 0]  # [S, K]
-        c2_all = c2_all * (sc * sc)
         sc_b = jnp.einsum("bs,sk->bk", onehot.astype(jnp.float32), sc)  # [B, K]
-    c2 = jnp.einsum("bs,sk->bk", onehot.astype(jnp.float32), c2_all)  # [B, K]
 
-    # phone masked per speaker slot -> distances in one contraction over s,c
-    masked = onehot[:, :, None] * query[:, 0, :][:, None, :]  # [B, S, C]
-    pc = jnp.einsum("bsc,skc->bk", masked, cb,
-                    preferred_element_type=jnp.float32)  # [B, K]
-    if codebook_scale is not None:
-        pc = pc * sc_b
+    if int8_query and bank_codebooks.dtype == jnp.int8:
+        # int8 MXU distances: quantize the query per stream row (the
+        # selection is a ranking, so the ~0.4% per-row quantization only
+        # matters at exact ties); ||entry||^2 comes out EXACT from the
+        # int32 dot (|entries| <= 127, C*127^2 << 2^31), better than the
+        # bf16 cast it replaces.  Halves the B*S*K*C distance flops.
+        q32 = phone[:, 0, :].astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(q32 / qs), -127, 127).astype(jnp.int8)
+        oh8 = onehot.astype(jnp.int8)
+        masked8 = oh8[:, :, None] * q8[:, None, :]  # [B, S, C] int8
+        pci = jnp.einsum("bsc,skc->bk", masked8, bank_codebooks,
+                         preferred_element_type=jnp.int32)
+        c2i = jnp.einsum("skc,skc->sk", bank_codebooks, bank_codebooks,
+                         preferred_element_type=jnp.int32)
+        c2_all = c2i.astype(jnp.float32) * (sc * sc)
+        c2 = jnp.einsum("bs,sk->bk", onehot.astype(jnp.float32), c2_all)
+        pc = pci.astype(jnp.float32) * qs * sc_b
+    else:
+        c2_all = jnp.einsum("skc,skc->sk", cb, cb,
+                            preferred_element_type=jnp.float32)  # [S, K]
+        if codebook_scale is not None:
+            c2_all = c2_all * (sc * sc)
+        c2 = jnp.einsum("bs,sk->bk", onehot.astype(jnp.float32), c2_all)
+
+        # phone masked per speaker slot -> distances in one contraction
+        masked = onehot[:, :, None] * query[:, 0, :][:, None, :]  # [B, S, C]
+        pc = jnp.einsum("bsc,skc->bk", masked, cb,
+                        preferred_element_type=jnp.float32)  # [B, K]
+        if codebook_scale is not None:
+            pc = pc * sc_b
     dist = c2 - 2.0 * pc  # [B, K]
 
     neg = -dist

@@ -71,7 +71,8 @@ def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32,
         "audio": (fe.ring_state(batch_shape, dtype) if ring else
                   jnp.zeros((*batch_shape, fe.history), dtype)),
         "blocks": [
-            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d, dtype)
+            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, d,
+                                    dtype, ring=ring)
             for d in cfg.dilations
         ],
     }

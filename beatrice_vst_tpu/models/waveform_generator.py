@@ -28,6 +28,7 @@ stage's rate), source phase, and a deterministic noise counter.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -119,10 +120,12 @@ def init(key, cfg: WaveformGeneratorConfig, dtype=jnp.float32):
     return params
 
 
-def init_state(cfg: WaveformGeneratorConfig, batch_shape=(), dtype=jnp.float32):
+def init_state(cfg: WaveformGeneratorConfig, batch_shape=(), dtype=jnp.float32,
+               ring=False):
     state = {
         "blocks": [
-            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, 1, dtype)
+            layers.conv_block_state(batch_shape, cfg.hidden, cfg.kernel, 1,
+                                    dtype, ring=ring)
             for _ in range(cfg.n_blocks)
         ],
         "up": [],
@@ -130,13 +133,30 @@ def init_state(cfg: WaveformGeneratorConfig, batch_shape=(), dtype=jnp.float32):
         "noise_counter": jnp.zeros(batch_shape, jnp.uint32),
     }
     c_in = cfg.hidden
-    for r, c_out in cfg.upsample:
+    for i, (r, c_out) in enumerate(cfg.upsample):
+        # only stage 0 runs at T==1 under the serving tick (the ring
+        # convention's precondition); later stages see T = r1*...*ri > 1
+        # inputs and always use the linear shift
         state["up"].append(
-            layers.causal_conv_state(batch_shape, cfg.up_kernel, c_in, 1, dtype)
+            layers.causal_conv_state(batch_shape, cfg.up_kernel, c_in, 1,
+                                     dtype, ring=ring and i == 0)
         )
         c_in = c_out
     state["final"] = layers.causal_conv_state(batch_shape, cfg.up_kernel, c_in, 1, dtype)
     return state
+
+
+def frame_increments(quantized_pitch):
+    """Per-frame source-phase increment mod 2*pi, [*, T] f32.
+
+    Exposed so sequence-parallel offline conversion (runtime/seqpar.py) can
+    accumulate its phase prefix over BITWISE the same f32 increments the
+    vocoder integrates -- a host-side float64 re-derivation differs by
+    ~1 ulp/frame systematically, which the 8th harmonic amplifies past the
+    1e-3 gate after a few hundred frames."""
+    f0 = quantized_pitch_to_hz(quantized_pitch.astype(jnp.float32))
+    step = 2.0 * jnp.pi * f0 / OUT_SAMPLE_RATE
+    return jnp.mod(step * OUT_HOP_LENGTH, 2.0 * jnp.pi)
 
 
 def _source_phases(quantized_pitch, phase0):
@@ -149,14 +169,89 @@ def _source_phases(quantized_pitch, phase0):
     continuous.  Callers evaluate phases at whatever sample grid they need
     (the upsampler evaluates each stage's rate directly).
     """
+    two_pi = 2.0 * jnp.pi
     f0 = quantized_pitch_to_hz(quantized_pitch.astype(jnp.float32))  # [B, T]
-    step = 2.0 * jnp.pi * f0 / OUT_SAMPLE_RATE  # [B, T] per-sample increment
+    step = two_pi * f0 / OUT_SAMPLE_RATE  # [B, T] per-sample increment
     frame_inc = step * OUT_HOP_LENGTH
-    # phase at the start of each frame
-    start = phase0[:, None] + jnp.cumsum(frame_inc, axis=-1) - frame_inc
-    start = jnp.mod(start, 2.0 * jnp.pi)
-    new_phase = jnp.mod(start[:, -1] + frame_inc[:, -1], 2.0 * jnp.pi)
+    # phase at the start of each frame: a *modular* prefix sum.  A plain
+    # f32 cumsum reaches ~10 rad/frame in magnitude, so long chunks lose
+    # phase precision linearly (at T=100 the raw sum is ~1e3 rad with only
+    # ~6e-5 rad of f32 resolution left, x8 on the 8th harmonic); folding
+    # mod 2*pi into the (associative) scan keeps every intermediate in
+    # [0, 4*pi) and the error at rounding level regardless of chunk length.
+    inc_mod = frame_increments(quantized_pitch)
+    csum = jax.lax.associative_scan(
+        lambda a, b: jnp.mod(a + b, two_pi), inc_mod, axis=-1
+    )  # inclusive modular prefix
+    start = jnp.mod(phase0[:, None] + csum - inc_mod, two_pi)
+    new_phase = jnp.mod(start[:, -1] + frame_inc[:, -1], two_pi)
     return start, step, new_phase
+
+
+@functools.lru_cache(maxsize=None)
+def _cheb_u_matrix(n_harmonics: int) -> "np.ndarray":
+    """[H, H] monomial coefficients of Chebyshev-U: sin(k*phi) =
+    sin(phi) * U_{k-1}(cos(phi)), U rows k-1 = coeffs over cos^j."""
+    import numpy as np
+
+    u = np.zeros((n_harmonics, n_harmonics), np.float64)
+    u[0, 0] = 1.0
+    if n_harmonics > 1:
+        u[1, 1] = 2.0
+        for k in range(2, n_harmonics):
+            u[k, 1:] = 2.0 * u[k - 1, :-1]
+            u[k] -= u[k - 2]
+    return u.astype(np.float32)
+
+
+def _fold_src_weights(src_params, cfg):
+    """Fold the Chebyshev-U basis change into the src linear weights.
+
+    The source features are built in the monomial basis x_j =
+    gate*sin(phi)*cos(phi)^j (see _monomial_source_features); since
+    harm_k = sum_j U[k,j] x_j, the per-stage src projection
+    [harm | noise] @ W equals [x | noise] @ W' with W'[:H] = U^T @ W[:H].
+    An [H, H] x [H, C] matmul per stage per call -- trace-time noise, and
+    the harmonic *bank* (the [B, T*spf, H] sine tensor whose per-harmonic
+    Chebyshev recurrence steps materialized ~0.8 ms/tick of f32
+    intermediates at B=14336 on v5e) is never built at all.
+    """
+    w, b = src_params["w"], src_params["b"]
+    h = cfg.n_harmonics
+    u_t = jnp.asarray(_cheb_u_matrix(h).T, w.dtype)
+    w_folded = jnp.concatenate([u_t @ w[:h], w[h:]], axis=0)
+    return w_folded, b
+
+
+def _monomial_source_features(phases, periodicity, noise, cfg,
+                              compute_dtype=None):
+    """[B, T, S, H+1] source features in the monomial basis
+    (gate*sin(phi)*cos(phi)^j for j=0..H-1, plus the 0.1-scaled noise
+    column), consumed with _fold_src_weights.  Exactly spans the same
+    per-sample information as the sin(k*phi) bank (the basis change is
+    folded into the weights); numerically within ~1e-5 of the explicit
+    recurrence for H <= 8 (|U coeffs| <= 128), far inside the 1e-3 golden
+    gate.  The power chain is log-depth (c2 = c*c, c4 = c2*c2) shallow
+    elementwise work that XLA fuses into the feature write -- unlike the
+    depth-H recurrence, which materialized every step.
+    """
+    gate = jax.nn.sigmoid(periodicity)[..., None, None]  # [B, T, 1, 1]
+    gs = gate * jnp.sin(phases)[..., None]  # [B, T, S, 1]
+    cols = [gs]
+    if cfg.n_harmonics > 1:
+        c = jnp.cos(phases)[..., None]
+        pows = {1: c}
+        for j in range(2, cfg.n_harmonics):
+            half = j // 2
+            pows[j] = pows[half] * pows[j - half]
+        cols += [gs * pows[j] for j in range(1, cfg.n_harmonics)]
+    # cast per column, BEFORE the concat: the concat's operand writers are
+    # separate fusions on this backend, so a post-concat convert would
+    # materialize the full-rate feature block twice (f32 then bf16)
+    if compute_dtype is not None:
+        cols = [col.astype(compute_dtype) for col in cols]
+        noise = noise.astype(compute_dtype)
+    return jnp.concatenate([*cols, noise], axis=-1)
 
 
 def _harmonic_features(phases, periodicity, cfg):
@@ -242,10 +337,18 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
                                   ring_pos=t_index)
         if cfg.use_kv_attention:
             if slot_onehot is not None:
-                h = layers.cross_attention_slots(
-                    p["attn"], h, kv_bank["k"][:, i], kv_bank["v"][:, i],
-                    slot_onehot, compute_dtype,
-                )
+                if "k_scale" in kv_bank:  # int8 slot bank + int8 MXU dots
+                    h = layers.cross_attention_slots_q8(
+                        p["attn"], h,
+                        kv_bank["k"][:, i], kv_bank["k_scale"][:, i],
+                        kv_bank["v"][:, i], kv_bank["v_scale"][:, i],
+                        slot_onehot, compute_dtype,
+                    )
+                else:
+                    h = layers.cross_attention_slots(
+                        p["attn"], h, kv_bank["k"][:, i], kv_bank["v"][:, i],
+                        slot_onehot, compute_dtype,
+                    )
             elif kv_cache is not None:
                 if "k_scale" in kv_cache:  # int8 + per-row scales
                     h = layers.cross_attention_cached_q(
@@ -275,13 +378,12 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
     # chunked and per-frame streaming produce identical noise
     counters = state["noise_counter"][:, None] + jnp.arange(t, dtype=jnp.uint32)
 
-    # ---- per-rate source features (shared by both upsampler paths) ----
-    # Each stage's harmonics are computed directly at that stage's rate
-    # (positions stride, 2*stride, ..., 240 -- numerically identical to
-    # slicing a full-rate bank, but with no [B, T, 240, H] intermediate and
-    # no stride-60/12/3 lane slices, which relayout on TPU and dominated
-    # the source cost at serving batch).
-    src_feats = []
+    # ---- per-rate source phases/noise (each stage's harmonics evaluated
+    # directly at that stage's rate: positions stride, 2*stride, ..., 240 --
+    # numerically identical to slicing a full-rate bank, but with no
+    # [B, T, 240, H] intermediate and no stride-60/12/3 lane slices, which
+    # relayout on TPU and dominated the source cost at serving batch) ----
+    stage_phases, stage_noise = [], []
     samples_per_frame = 1
     for i, (r, _) in enumerate(cfg.upsample):
         samples_per_frame *= r
@@ -289,14 +391,10 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
         pos = jnp.arange(1, samples_per_frame + 1, dtype=jnp.float32) * float(
             stride
         )
-        phases_r = start[..., None] + step[..., None] * pos  # [B, T, spf]
-        harm_r = _harmonic_features(phases_r, periodicity, cfg).reshape(
-            b, t * samples_per_frame, cfg.n_harmonics
-        )
-        noise_r = layers.hash_noise(
+        stage_phases.append(start[..., None] + step[..., None] * pos)  # [B,T,spf]
+        stage_noise.append(layers.hash_noise(
             counters, samples_per_frame, cfg.noise_salt + i * 0x2545F491
-        ).reshape(b, t * samples_per_frame, 1)
-        src_feats.append(jnp.concatenate([harm_r, 0.1 * noise_r], axis=-1))
+        ).reshape(b, t, samples_per_frame))
 
     # ---- depth-to-time upsampler ----
     from .pallas_upsampler import TILE as _PALLAS_TILE
@@ -304,6 +402,19 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
     if cfg.use_pallas_upsampler and t == 1 and b % _PALLAS_TILE == 0:
         from .pallas_upsampler import fused_upsample
 
+        # the Pallas head consumes the explicit sin(k*phi) bank
+        src_feats = [
+            jnp.concatenate(
+                [
+                    _harmonic_features(ph, periodicity, cfg).reshape(
+                        b, ph.shape[1] * ph.shape[2], cfg.n_harmonics
+                    ),
+                    0.1 * nz.reshape(b, -1, 1),
+                ],
+                axis=-1,
+            )
+            for ph, nz in zip(stage_phases, stage_noise)
+        ]
         audio, new_states = fused_upsample(
             params["up"], params["final"], h,
             [*state["up"], state["final"]], src_feats,
@@ -324,7 +435,26 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
             new_up_states.append(ns)
             cur_t = y.shape[1]
             y = y.reshape(b, cur_t * r, c_out)
-            y = y + layers.linear(up["src"], src_feats[i], compute_dtype).astype(y.dtype)
+            # source injection in the monomial basis with U folded into the
+            # weights (see _fold_src_weights): same projection as
+            # linear(src, [sin(k*phi) bank | noise]) without materializing
+            # the bank
+            feats = _monomial_source_features(
+                stage_phases[i], periodicity,
+                0.1 * stage_noise[i][..., None], cfg, compute_dtype,
+            ).reshape(b, cur_t * r, cfg.n_harmonics + 1)
+            w_f, b_f = _fold_src_weights(up["src"], cfg)
+            if compute_dtype is not None:
+                w_f = w_f.astype(compute_dtype)
+            src = jnp.dot(feats, w_f, preferred_element_type=jnp.float32)
+            y = y + (src + b_f.astype(src.dtype)).astype(y.dtype)
+            if compute_dtype is not None:
+                # keep inter-stage activations in the compute dtype: the
+                # f32 conv outputs (preferred accumulate) convert in the
+                # conv epilogue instead of materializing f32 [B, T*r, C]
+                # buffers that snake re-reads (the fine-rate stages are the
+                # engine's largest elementwise traffic)
+                y = y.astype(compute_dtype)
             x = layers.snake(up["snake"], y)
 
         y, final_state = layers.causal_conv(

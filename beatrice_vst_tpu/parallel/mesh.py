@@ -145,18 +145,29 @@ def params_sharding(params, mesh: Mesh, rules=MODEL_PARALLEL_RULES,
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
-def state_sharding(state, mesh: Mesh):
-    """Per-stream state: leaves whose leading dim is the stream axis are
-    sharded over 'streams'; shared tables (the KV slot bank, anything not
-    divisible by the axis size) replicate."""
+def state_sharding(state, mesh: Mesh, capacity: int | None = None):
+    """Per-stream state: leaves whose stream axis is divisible by the mesh
+    are sharded over 'streams'; shared tables (the KV slot bank, anything
+    not divisible) replicate.  With `capacity`, the stream axis is the
+    first axis whose size equals it (ring-major conv states [R, B, C] put
+    the stream axis second -- layers.causal_conv_state); without, the
+    legacy leading-axis heuristic applies."""
     ns = mesh.shape["streams"]
 
     def rule(path, leaf):
         shared = any(
             getattr(p, "key", None) == "kv_slots" for p in path
         )
-        if (not shared and leaf.ndim >= 1 and leaf.shape[0] >= ns
-                and leaf.shape[0] % ns == 0):
+        if shared or leaf.ndim < 1:
+            return NamedSharding(mesh, P())
+        if capacity is not None:
+            for axis, size in enumerate(leaf.shape):
+                if size == capacity and size % ns == 0:
+                    spec = [None] * leaf.ndim
+                    spec[axis] = "streams"
+                    return NamedSharding(mesh, P(*spec))
+            return NamedSharding(mesh, P())
+        if leaf.shape[0] >= ns and leaf.shape[0] % ns == 0:
             return NamedSharding(mesh, P("streams", *([None] * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())
 

@@ -48,12 +48,13 @@ class EngineConfig:
     # quantization error, scales folded outside the contractions.  Only
     # takes effect together with compute_dtype.
     quantize_conditioning: bool = True
-    # int8 KV projection cache (per_stream mode only).  Measured on v5e:
-    # at serving batch the halved HBM read wins (tick at 5120 streams:
-    # 9.22 ms int8 vs 10.06 ms bf16), while at B<=2048 the standalone
-    # attention is slightly faster in bf16 (1.2 vs 1.6 ms -- the dequant
-    # convert dominates when the reads aren't the bottleneck).  Default
-    # int8: the production regime is the large-batch one.
+    # int8 KV conditioning.  per_stream mode: int8 projection cache --
+    # measured on v5e the halved HBM read wins at serving batch (tick at
+    # 5120 streams: 9.22 ms int8 vs 10.06 ms bf16) and loses slightly at
+    # B<=2048 (dequant convert dominates).  slots mode: int8 slot bank AND
+    # int8 MXU contractions (cross_attention_slots_q8) -- the flop-bound
+    # slot attention runs at the MXU's 2x int8 rate.  Default int8: the
+    # production regime is the large-batch one.
     quantize_kv_cache: bool = True
     # KV conditioning layout:
     #   "slots"      shared slot bank [n_speakers + n_morph_slots, ...] read
@@ -167,12 +168,21 @@ def init_engine_state(cfg: EngineConfig):
         if cfg.kv_cache_mode == "slots":
             # morph slots only; the base-speaker slots are projected from
             # the bank inside the tick (tiny: S*L*C*A matmuls)
-            state["kv_slots"] = {
-                "k": jnp.zeros((cfg.n_morph_slots, nb, spec.kv_length, a),
-                               cond_dtype),
-                "v": jnp.zeros((cfg.n_morph_slots, nb, spec.kv_length, a),
-                               cond_dtype),
-            }
+            shape = (cfg.n_morph_slots, nb, spec.kv_length, a)
+            if cfg.quantize_kv_cache and cfg.dtype is not None:
+                # int8 slot bank: the big slot-attention contractions run
+                # as int8 MXU dots (layers.cross_attention_slots_q8)
+                state["kv_slots"] = {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "k_scale": jnp.ones((*shape[:-1], 1), jnp.float32),
+                    "v_scale": jnp.ones((*shape[:-1], 1), jnp.float32),
+                }
+            else:
+                state["kv_slots"] = {
+                    "k": jnp.zeros(shape, cond_dtype),
+                    "v": jnp.zeros(shape, cond_dtype),
+                }
         else:
             shape = (cfg.capacity, nb, spec.kv_length, a)
             if cfg.quantize_kv_cache and cfg.dtype is not None:
@@ -247,21 +257,36 @@ def _build_cond(cfg: EngineConfig, bank, state, params=None):
                 # change with the bank): skips the per-tick projection +
                 # [S, nb, L, A] stack relayouts
                 base = {"k": bank["kv_proj_k"], "v": bank["kv_proj_v"]}
+                for name in ("k", "v"):
+                    if f"kv_proj_{name}_scale" in bank:
+                        base[f"{name}_scale"] = bank[f"kv_proj_{name}_scale"]
             else:
                 from ..models import waveform_generator as wg_mod
 
                 base = wg_mod.project_kv(
                     params["wg"], cfg.model.wg, bank["kv"], cfg.dtype
                 )  # {"k"/"v": [S, nb, L, A]} -- S*L*C*A matmuls
-            dt = state["kv_slots"]["k"].dtype
+                if "k_scale" in state["kv_slots"]:
+                    from ..models.layers import quantize_rows
+
+                    for name in ("k", "v"):
+                        q, s = quantize_rows(base[name])
+                        base[name] = q
+                        base[f"{name}_scale"] = s
+            slots = state["kv_slots"]
+            dt = slots["k"].dtype
             cond["kv_bank"] = {
-                "k": jnp.concatenate(
-                    [base["k"].astype(dt), state["kv_slots"]["k"]], axis=0
-                ),
-                "v": jnp.concatenate(
-                    [base["v"].astype(dt), state["kv_slots"]["v"]], axis=0
-                ),
+                name: jnp.concatenate(
+                    [base[name].astype(dt), slots[name]], axis=0
+                )
+                for name in ("k", "v")
             }
+            if "k_scale" in slots:  # int8 slot bank: concat the scales too
+                for name in ("k", "v"):
+                    cond["kv_bank"][f"{name}_scale"] = jnp.concatenate(
+                        [base[f"{name}_scale"], slots[f"{name}_scale"]],
+                        axis=0,
+                    )
             # non-morph streams derive their slot from target_speaker (the
             # kv_slot control only matters in morph mode), so direct users
             # of engine_tick never need host-side slot bookkeeping
@@ -321,6 +346,12 @@ def engine_tick(params, bank, state, audio48, *, cfg: EngineConfig):
     y24, model_state = chain.apply(
         params, cfg.model, x16, state["model"], cond, compute_dtype=cfg.dtype,
         t_index=state["tick_idx"] if cfg.frames_per_tick == 1 else None,
+        # int8 MXU distance dots are available (vq_int8_query) but measured
+        # SLOWER than the bf16 cast on v5e (0.32 vs 0.20 ms at B=14336 --
+        # poor int8 utilization at the [B,2048]x[2048,512] shape, unlike the
+        # slot-attention dots which got the full 2x), so the engine keeps
+        # the bf16 distance path.
+        vq_int8_query=False,
     )
     y48, rs_out_state = rs_out.apply_block(y24, state["rs_out"])
     y48, gain_out_db = gain_process(
@@ -384,10 +415,18 @@ def refresh_kv_slots(params, state, cfg: EngineConfig, stream_idx, slot_idx):
     kv = state["morphed"]["kv"][stream_idx]  # [n, L, C]
     proj = waveform_generator.project_kv(params["wg"], cfg.model.wg, kv, cfg.dtype)
     slots = dict(state["kv_slots"])
-    for name in ("k", "v"):
-        slots[name] = slots[name].at[slot_idx].set(
-            proj[name].astype(slots[name].dtype)
-        )
+    if "k_scale" in slots:
+        from ..models.layers import quantize_rows
+
+        for name in ("k", "v"):
+            q, s = quantize_rows(proj[name])
+            slots[name] = slots[name].at[slot_idx].set(q)
+            slots[f"{name}_scale"] = slots[f"{name}_scale"].at[slot_idx].set(s)
+    else:
+        for name in ("k", "v"):
+            slots[name] = slots[name].at[slot_idx].set(
+                proj[name].astype(slots[name].dtype)
+            )
     return {**state, "kv_slots": slots}
 
 
@@ -452,8 +491,13 @@ def _reset_masked(state, mask):
     processor.cc:88-98): fresh model/resampler/gain state, controls kept.
     One fused computation regardless of how many streams reset."""
 
+    cap = mask.shape[0]
+
     def zero_slot(leaf):
-        m = mask.reshape(mask.shape + (1,) * (leaf.ndim - 1))
+        # the stream axis is axis 0 except for ring-major conv states
+        # [R, B, C] (BEATRICE_RING_LAYOUT=rmajor; layers.causal_conv_state)
+        axis = 0 if leaf.shape[0] == cap else 1
+        m = mask.reshape((1,) * axis + mask.shape + (1,) * (leaf.ndim - 1 - axis))
         return jnp.where(m, jnp.zeros((), leaf.dtype), leaf)
 
     out = dict(state)
@@ -497,9 +541,17 @@ class StreamEngine:
             proj = wg_mod.project_kv(
                 params["wg"], cfg.model.wg, self.bank["kv"], cfg.dtype
             )
-            dt = cfg.dtype or jnp.float32
-            self.bank["kv_proj_k"] = proj["k"].astype(dt)
-            self.bank["kv_proj_v"] = proj["v"].astype(dt)
+            if cfg.quantize_kv_cache and cfg.dtype is not None:
+                from ..models.layers import quantize_rows
+
+                for name in ("k", "v"):
+                    q, s = quantize_rows(proj[name])
+                    self.bank[f"kv_proj_{name}"] = q
+                    self.bank[f"kv_proj_{name}_scale"] = s
+            else:
+                dt = cfg.dtype or jnp.float32
+                self.bank["kv_proj_k"] = proj["k"].astype(dt)
+                self.bank["kv_proj_v"] = proj["v"].astype(dt)
         self.state = init_engine_state(cfg)
         self.stage = ControlStage()
         self._free = list(range(cfg.capacity - 1, -1, -1))

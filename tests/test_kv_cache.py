@@ -152,3 +152,67 @@ def test_engine_refreshes_cache_on_speaker_change():
     # the other slot (never admitted) stays zero
     other = 1 - idx
     assert np.abs(np.asarray(eng.state["kv_cache"]["k"][other])).max() == 0
+
+
+def test_slots_q8_close_to_slots_f32():
+    """int8 slot attention (int8 bank + int8 MXU dots) stays within the
+    quantization envelope of the exact slots path."""
+    from beatrice_vst_tpu.models import layers
+    from beatrice_vst_tpu.models.layers import quantize_rows
+
+    rng = np.random.default_rng(7)
+    b, t, hdim, z, ell, a = 8, 1, 64, 5, 48, 32
+    p = layers.cross_attention_init(jax.random.PRNGKey(2), hdim, 16, a)
+    x = jnp.asarray(rng.standard_normal((b, t, hdim)), jnp.float32)
+    k_z = jnp.asarray(rng.standard_normal((z, ell, a)), jnp.float32)
+    v_z = jnp.asarray(rng.standard_normal((z, ell, a)), jnp.float32)
+    slot = jnp.asarray(rng.integers(0, z, b), jnp.int32)
+    onehot = jax.nn.one_hot(slot, z, dtype=jnp.float32)
+
+    want = np.asarray(layers.cross_attention_slots(p, x, k_z, v_z, onehot))
+    k8, ks = quantize_rows(k_z)
+    v8, vs = quantize_rows(v_z)
+    got = np.asarray(
+        layers.cross_attention_slots_q8(p, x, k8, ks, v8, vs, onehot)
+    )
+    # attention output enters via a residual add; bound the deviation of
+    # the residual contribution relative to its own magnitude
+    resid_want = want - np.asarray(x)
+    resid_got = got - np.asarray(x)
+    denom = max(np.abs(resid_want).max(), 1e-6)
+    assert np.abs(resid_got - resid_want).max() / denom < 0.05
+
+
+def test_engine_quantized_slots_close_to_exact_slots():
+    """Whole-engine: bf16 + int8 slot bank ~= bf16 exact slot bank,
+    including a morph stream writing a leased int8 slot."""
+    import dataclasses
+
+    cap = 3
+    base_cfg = EngineConfig.realtime(cap, V20RC0, compute_dtype="bfloat16")
+    params = chain.init(jax.random.PRNGKey(0), base_cfg.model)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20RC0, 3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((cap, 480)) * 0.1, jnp.float32)
+
+    outs = {}
+    for quant in (False, True):
+        cfg = dataclasses.replace(base_cfg, quantize_kv_cache=quant,
+                                  n_morph_slots=2)
+        eng = StreamEngine(cfg, params, bank, jit=False)
+        for _ in range(cap):
+            eng.admit()
+        eng.set_control(0, "target_speaker", np.int32(1))
+        w = np.zeros(256, np.float32)
+        w[0], w[1] = 0.5, 0.5
+        eng.set_control(1, "morph_weights", w)
+        eng.set_control(1, "morph_top_idx",
+                        np.asarray([0, 1, 0, 0, 0, 0, 0, 0], np.int32))
+        eng.set_control(1, "target_speaker", np.int32(3))
+        out = eng.tick(x)
+        out = eng.tick(x)
+        outs[quant] = np.asarray(out)
+    assert np.isfinite(outs[True]).all()
+    err = np.abs(outs[True] - outs[False]).max()
+    ref = np.abs(outs[False]).max()
+    assert err < 0.1 * max(ref, 1e-3), (err, ref)

@@ -155,3 +155,36 @@ def test_phase_continuity_across_frames():
     # join samples (multiples of 240) shouldn't be outliers vs global max
     joins = d[:, 239::240]
     assert joins.max() <= d.max() * 1.5 + 1e-3
+
+
+def test_ring_rmajor_layout_equals_chunk(monkeypatch):
+    """BEATRICE_RING_LAYOUT=rmajor stores ring conv states [R, B, C] with
+    leading-axis row writes; same audio as the linear chunk path."""
+    from beatrice_vst_tpu.models import layers
+
+    monkeypatch.setenv("BEATRICE_RING_LAYOUT", "rmajor")
+    layers._ring_layout.cache_clear()
+    try:
+        cfg, params, state, cond, audio = make(V20RC0)
+        chunk_out, _ = chain.apply(params, cfg, audio, state, cond)
+        st = chain.init_state(cfg, (B,), ring=True)
+        assert st["phone"]["blocks"][3].shape == (24, B, cfg.phone.hidden)
+        assert st["wg"]["up"][0].shape[0] == 2  # stage-0 ring, ring-leading
+        outs = []
+        for i in range(T):
+            o, st = chain.apply(
+                params, cfg, audio[:, i * 160:(i + 1) * 160], st, cond,
+                t_index=jnp.uint32(i),
+            )
+            outs.append(np.asarray(o))
+        ring_out = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(ring_out, np.asarray(chunk_out),
+                                   rtol=2e-4, atol=2e-5)
+        # past a full revolution of the longest (24-row) ring
+        for i in range(28):
+            frame = audio[:, (i % T) * 160:((i % T) + 1) * 160]
+            o, st = chain.apply(params, cfg, frame, st, cond,
+                                t_index=jnp.uint32(T + i))
+            assert np.isfinite(np.asarray(o)).all()
+    finally:
+        layers._ring_layout.cache_clear()

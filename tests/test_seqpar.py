@@ -1,0 +1,108 @@
+"""Sequence-parallel offline conversion == sequential conversion.
+
+The SP/CP design (runtime/seqpar.py): FIR stages replay a warmup halo, the
+phase carry is a host prefix sum between two parallel passes.  These tests
+gate that the segmented result matches the whole-utterance program to well
+inside the 1e-3 golden tolerance, including across segment boundaries and
+when the segment axis is sharded over the 8-device CPU mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from beatrice_vst_tpu.constants import V20RC0
+from beatrice_vst_tpu.models import chain
+from beatrice_vst_tpu.runtime.offline import ConversionSettings, convert_utterance
+from beatrice_vst_tpu.runtime.seqpar import (
+    chain_receptive_field_frames,
+    convert_utterance_sp,
+)
+from beatrice_vst_tpu.speakers import bank as bank_mod
+
+
+@pytest.fixture(scope="module")
+def model():
+    # shallow dilation stacks shrink the receptive field (and thus the
+    # per-segment warmup) so the exactness tests stay cheap on CPU; the
+    # seqpar math is config-generic (warmup = chain_receptive_field_frames)
+    from beatrice_vst_tpu.models.phone_extractor import PhoneExtractorConfig
+    from beatrice_vst_tpu.models.pitch_estimator import PitchEstimatorConfig
+
+    cfg = chain.VoiceConverterConfig(
+        spec=V20RC0,
+        phone=PhoneExtractorConfig(phone_channels=V20RC0.phone_channels,
+                                   dilations=(1, 2)),
+        pitch=PitchEstimatorConfig(pitch_bins=V20RC0.pitch_bins,
+                                   dilations=(1, 2)),
+    )
+    params = chain.init(jax.random.PRNGKey(0), cfg)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20RC0, 4)
+    return cfg, params, bank
+
+
+def _utterance(n_frames, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_frames * 160) / 16000.0
+    x = 0.3 * np.sin(2 * np.pi * 150 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    return (x + 0.02 * rng.standard_normal(x.size)).astype(np.float32)
+
+
+def test_receptive_field_sane(model):
+    cfg, _, _ = model
+    rf = chain_receptive_field_frames(cfg)
+    assert 20 < rf < 60  # shallow test config; full V20RC0 is ~71
+
+    full = chain.VoiceConverterConfig.for_version(V20RC0)
+    assert 60 < chain_receptive_field_frames(full) < 120
+
+
+def test_seqpar_matches_sequential(model):
+    cfg, params, bank = model
+    audio = _utterance(96)
+    settings = ConversionSettings(target_speaker=1, pitch_shift=3.0,
+                                  vq_num_neighbors=2)
+    ref = convert_utterance(params, cfg, bank, audio, 16000, settings,
+                            chunk_frames=0)
+    # n_segments=4 caps to 3 (96 frames / 29-frame warmup): f = 32
+    sp = convert_utterance_sp(params, cfg, bank, audio, 16000, settings,
+                              n_segments=4)
+    assert sp.shape == ref.shape
+    diff = np.max(np.abs(sp - ref))
+    assert diff < 1e-3, f"max diff {diff}"
+    # boundary regions specifically (segment joins at 32-frame multiples)
+    for b in (32, 64):
+        lo, hi = (b * 240) - 480, (b * 240) + 480
+        d = np.max(np.abs(sp[lo:hi] - ref[lo:hi]))
+        assert d < 1e-3, f"boundary {b}: {d}"
+
+
+def test_seqpar_sharded_over_mesh(model):
+    cfg, params, bank = model
+    audio = _utterance(288, seed=3)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("streams",))
+    ref = convert_utterance(params, cfg, bank, audio, 16000, chunk_frames=0)
+    # 9 segments -> seg0 alone + 8 halo segments sharded over the 8 devices
+    sp = convert_utterance_sp(params, cfg, bank, audio, 16000,
+                              n_segments=9, mesh=mesh)
+    assert np.max(np.abs(sp - ref)) < 1e-3
+
+
+def test_seqpar_short_warmup_is_inexact(model):
+    """Sanity that the warmup actually matters: starving it must break the
+    boundary match (guards against the test comparing trivial silence)."""
+    cfg, params, bank = model
+    audio = _utterance(96, seed=5)
+    ref = convert_utterance(params, cfg, bank, audio, 16000, chunk_frames=0)
+    sp = convert_utterance_sp(params, cfg, bank, audio, 16000,
+                              n_segments=4, warmup_frames=2)
+    assert np.max(np.abs(sp - ref)) > 1e-3
+
+
+def test_seqpar_single_segment_degenerates_to_sequential(model):
+    cfg, params, bank = model
+    audio = _utterance(40, seed=7)
+    ref = convert_utterance(params, cfg, bank, audio, 16000, chunk_frames=0)
+    sp = convert_utterance_sp(params, cfg, bank, audio, 16000, n_segments=1)
+    np.testing.assert_allclose(sp, ref, atol=2e-5)

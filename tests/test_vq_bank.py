@@ -78,3 +78,27 @@ def test_shared_vq_zero_neighbors_passthrough():
     assert out.shape == (2, 1, 16)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(phone[1]),
                                atol=1e-6)
+
+
+def test_shared_vq_int8_query_matches_when_margins_clear():
+    """int8_query only re-quantizes the *ranking* inputs; with clear
+    nearest-neighbor margins the selection (and thus the output, up to
+    the shared int8-bank rounding) is identical to the bf16 ranking."""
+    from beatrice_vst_tpu.models.layers import quantize_rows
+    from beatrice_vst_tpu.models.phone_extractor import vq_knn_smooth_shared
+
+    rng = np.random.default_rng(6)
+    s, k, c, b = 3, 32, 16, 6
+    bank_f = jnp.asarray(rng.standard_normal((s, k, c)) * 2.0, jnp.float32)
+    q, scale = quantize_rows(bank_f)
+    idx = jnp.asarray(rng.integers(0, s, b), jnp.int32)
+    # queries sit right next to specific entries: margins >> quantization
+    target = rng.integers(0, k, b)
+    phone = bank_f[idx, target][:, None, :] * 1.02
+    n = jnp.asarray([1, 2, 3, 1, 2, 0], jnp.int32)
+
+    base = vq_knn_smooth_shared(phone, q, idx, n, codebook_scale=scale)
+    got = vq_knn_smooth_shared(phone, q, idx, n, codebook_scale=scale,
+                               int8_query=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-2, atol=1e-2)
