@@ -102,8 +102,11 @@ def _ring_layout() -> str:
     """Ring-buffer storage layout: 'bmajor' = [*batch, R, C] (same shape as
     the linear convention), 'rmajor' = [R, *batch, C] (leading-axis row
     writes; see causal_conv_state).  Process-wide: states are created and
-    consumed under the same value."""
-    return os.environ.get("BEATRICE_RING_LAYOUT", "bmajor")
+    consumed under the same value.  Default rmajor: measured on v5e at
+    B=14336 it cut the serving tick 9.08 -> 8.91 ms (the [B,24,256] ring's
+    defensive-copy DUS + strided tap reads become aligned leading-axis
+    slices)."""
+    return os.environ.get("BEATRICE_RING_LAYOUT", "rmajor")
 
 
 @functools.lru_cache(maxsize=1)

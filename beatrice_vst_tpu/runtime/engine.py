@@ -485,38 +485,64 @@ def refresh_conditioning(params, bank, state, cfg: EngineConfig, idx):
     return refresh_kv_cache(params, bank, state, cfg, idx)
 
 
-@jax.jit
-def _reset_masked(state, mask):
+@functools.lru_cache(maxsize=16)
+def _stream_axes(cfg: EngineConfig):
+    """Per-leaf stream-axis index for the resettable state subtrees,
+    derived structurally: the axis whose size changes between
+    eval_shape at capacity and capacity+1 IS the stream axis.  (Shape
+    heuristics are ambiguous: ring-major conv states are [R, B, C] while
+    e.g. the linear final-conv state is [B, R, C], and tiny test
+    capacities collide with ring sizes.)"""
+    a = jax.eval_shape(lambda: init_engine_state(cfg))
+    b = jax.eval_shape(
+        lambda: init_engine_state(dataclasses.replace(cfg, capacity=cfg.capacity + 1))
+    )
+
+    def axis_of(x, y):
+        return next(
+            i for i, (p, q) in enumerate(zip(x.shape, y.shape)) if p != q
+        )
+
+    return {
+        key: jax.tree_util.tree_map(axis_of, a[key], b[key])
+        for key in ("model", "rs_in", "rs_out")
+    }
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_reset(cfg: EngineConfig):
     """Zero the carries of masked stream slots (admission / ResetContext,
     processor.cc:88-98): fresh model/resampler/gain state, controls kept.
     One fused computation regardless of how many streams reset."""
+    axes = _stream_axes(cfg)
 
-    cap = mask.shape[0]
+    @jax.jit
+    def reset(state, mask):
+        def zero_slot(leaf, axis):
+            m = mask.reshape(
+                (1,) * axis + mask.shape + (1,) * (leaf.ndim - 1 - axis)
+            )
+            return jnp.where(m, jnp.zeros((), leaf.dtype), leaf)
 
-    def zero_slot(leaf):
-        # the stream axis is axis 0 except for ring-major conv states
-        # [R, B, C] (BEATRICE_RING_LAYOUT=rmajor; layers.causal_conv_state)
-        axis = 0 if leaf.shape[0] == cap else 1
-        m = mask.reshape((1,) * axis + mask.shape + (1,) * (leaf.ndim - 1 - axis))
-        return jnp.where(m, jnp.zeros((), leaf.dtype), leaf)
+        out = dict(state)
+        for key in ("model", "rs_in", "rs_out"):
+            out[key] = jax.tree_util.tree_map(zero_slot, state[key], axes[key])
+        out["gain_in_db"] = jnp.where(
+            mask, state["controls"]["input_gain_db"], state["gain_in_db"]
+        )
+        out["gain_out_db"] = jnp.where(
+            mask, state["controls"]["output_gain_db"], state["gain_out_db"]
+        )
+        out["frame_counter"] = jnp.where(mask, 0, state["frame_counter"])
+        return out
 
-    out = dict(state)
-    for key in ("model", "rs_in", "rs_out"):
-        out[key] = jax.tree_util.tree_map(zero_slot, state[key])
-    out["gain_in_db"] = jnp.where(
-        mask, state["controls"]["input_gain_db"], state["gain_in_db"]
-    )
-    out["gain_out_db"] = jnp.where(
-        mask, state["controls"]["output_gain_db"], state["gain_out_db"]
-    )
-    out["frame_counter"] = jnp.where(mask, 0, state["frame_counter"])
-    return out
+    return reset
 
 
 def reset_streams(state, cfg: EngineConfig, idx):
     """Reset the given stream slots (array of indices)."""
     mask = jnp.zeros((cfg.capacity,), bool).at[jnp.asarray(idx)].set(True)
-    return _reset_masked(state, mask)
+    return _jitted_reset(cfg)(state, mask)
 
 
 class StreamEngine:
