@@ -225,33 +225,44 @@ def _fold_src_weights(src_params, cfg):
 
 def _monomial_source_features(phases, periodicity, noise, cfg,
                               compute_dtype=None):
-    """[B, T, S, H+1] source features in the monomial basis
+    """[H+1, B, T*S] source features in the monomial basis
     (gate*sin(phi)*cos(phi)^j for j=0..H-1, plus the 0.1-scaled noise
-    column), consumed with _fold_src_weights.  Exactly spans the same
-    per-sample information as the sin(k*phi) bank (the basis change is
-    folded into the weights); numerically within ~1e-5 of the explicit
-    recurrence for H <= 8 (|U coeffs| <= 128), far inside the 1e-3 golden
-    gate.  The power chain is log-depth (c2 = c*c, c4 = c2*c2) shallow
-    elementwise work that XLA fuses into the feature write -- unlike the
-    depth-H recurrence, which materialized every step.
+    column), consumed with _fold_src_weights via einsum('jbs,jc->bsc').
+    Exactly spans the same per-sample information as the sin(k*phi) bank
+    (the basis change is folded into the weights); numerically within
+    ~1e-5 of the explicit recurrence for H <= 8 (|U coeffs| <= 128), far
+    inside the 1e-3 golden gate.
+
+    Layout notes (v5e, B=15360): the power chain is log-depth shallow
+    elementwise work, and the feature axis is the LEADING axis -- each
+    column is one contiguous [1, B, T*S] block write.  Concatenating on a
+    minor width-9 axis instead lowered to 8 full-buffer rewrite fusions
+    (~0.8 ms/tick); sin/cos stay f32 (phase accuracy), the chain runs in
+    the compute dtype.
     """
-    gate = jax.nn.sigmoid(periodicity)[..., None, None]  # [B, T, 1, 1]
-    gs = gate * jnp.sin(phases)[..., None]  # [B, T, S, 1]
+    dt = compute_dtype or jnp.float32
+    b, t = phases.shape[:2]
+    flat = lambda x: jnp.broadcast_to(x, phases.shape).reshape(
+        b, t * phases.shape[-1])
+    gate = jax.nn.sigmoid(periodicity)[..., None]  # [B, T, 1]
+    sin_p = jnp.sin(phases)
+    cos_p = jnp.cos(phases)
+    # materialize sin/cos ONCE: the per-column writer fusions otherwise
+    # DUPLICATE the transcendental producers into every column (observed
+    # in the compiled HLO: 8 `sine` + 7 `cosine` full-rate ops per stage,
+    # ~19 VPU cycles/element each -- the whole point of the monomial
+    # basis was avoiding exactly this)
+    sin_p, cos_p = jax.lax.optimization_barrier((sin_p, cos_p))
+    gs = flat(gate * sin_p).astype(dt)  # [B, T*S]
     cols = [gs]
     if cfg.n_harmonics > 1:
-        c = jnp.cos(phases)[..., None]
+        c = flat(cos_p).astype(dt)
         pows = {1: c}
         for j in range(2, cfg.n_harmonics):
             half = j // 2
             pows[j] = pows[half] * pows[j - half]
         cols += [gs * pows[j] for j in range(1, cfg.n_harmonics)]
-    # cast per column, BEFORE the concat: the concat's operand writers are
-    # separate fusions on this backend, so a post-concat convert would
-    # materialize the full-rate feature block twice (f32 then bf16)
-    if compute_dtype is not None:
-        cols = [col.astype(compute_dtype) for col in cols]
-        noise = noise.astype(compute_dtype)
-    return jnp.concatenate([*cols, noise], axis=-1)
+    return jnp.stack([*cols, noise.astype(dt)], axis=0)
 
 
 def _harmonic_features(phases, periodicity, cfg):
@@ -438,15 +449,17 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
             # source injection in the monomial basis with U folded into the
             # weights (see _fold_src_weights): same projection as
             # linear(src, [sin(k*phi) bank | noise]) without materializing
-            # the bank
+            # the bank; features carry the (tiny) basis axis in FRONT
             feats = _monomial_source_features(
                 stage_phases[i], periodicity,
-                0.1 * stage_noise[i][..., None], cfg, compute_dtype,
-            ).reshape(b, cur_t * r, cfg.n_harmonics + 1)
+                0.1 * stage_noise[i].reshape(b, cur_t * r), cfg,
+                compute_dtype,
+            )  # [H+1, B, cur_t*r]
             w_f, b_f = _fold_src_weights(up["src"], cfg)
             if compute_dtype is not None:
                 w_f = w_f.astype(compute_dtype)
-            src = jnp.dot(feats, w_f, preferred_element_type=jnp.float32)
+            src = jnp.einsum("jbs,jc->bsc", feats, w_f,
+                             preferred_element_type=jnp.float32)
             y = y + (src + b_f.astype(src.dtype)).astype(y.dtype)
             if compute_dtype is not None:
                 # keep inter-stage activations in the compute dtype: the
