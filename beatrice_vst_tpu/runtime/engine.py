@@ -726,6 +726,39 @@ class StreamEngine:
         self.metrics.record_tick(t.duration, self.n_active, self.cfg.frames_per_tick)
         return out
 
+    def recover(self) -> list[int]:
+        """Elastic recovery after a device failure (SURVEY.md section 5.3):
+        rebuild the device state from scratch -- fresh carries, default
+        controls -- while keeping the host-side stream table.  Occupied
+        slots are re-activated (and their KV/morph conditioning marked
+        dirty so the next flush re-primes it); per-stream *parameters*
+        beyond that are the control plane's to replay (ModelHost replays
+        each session's ParameterState, the same restore-by-replay path as
+        state loading).  Streaming contexts reset to zero -- the reference
+        itself never persists contexts (processor.cc:88-98), so this is a
+        ResetContext across the batch, not data loss.
+
+        Returns the indices of the re-activated slots.
+        """
+        self.state = init_engine_state(self.cfg)
+        self.stage = ControlStage()
+        self._pending_reset.clear()
+        self._morph_dirty.clear()
+        self._kv_dirty.clear()
+        self._slot_dirty.clear()
+        active = [i for i in range(self.cfg.capacity)
+                  if self._slot_used[i] and i not in self._free]
+        for idx in active:
+            self.stage.stage(idx, "active", True)
+            self._kv_dirty.add(idx)
+            if self._slots_mode:
+                slot = self._morph_slot.get(idx)
+                if slot is not None:
+                    self._morph_dirty.add(idx)
+                    self._slot_dirty.add(idx)
+        self.counters["recoveries"] = self.counters.get("recoveries", 0) + 1
+        return active
+
     def metrics_snapshot(self) -> dict:
         return {**self.metrics.snapshot(self.n_active), **self.counters}
 

@@ -94,6 +94,7 @@ class StreamingServer:
         self._thread: threading.Thread | None = None
         cap = engine.cfg.capacity
         self._in_host = np.zeros((cap, engine.cfg.samples_per_tick), np.float32)
+        self._recover_callbacks: list = []
 
     # -- session management --
 
@@ -130,7 +131,18 @@ class StreamingServer:
         period = self.engine.cfg.frames_per_tick * 0.010
         next_t = time.monotonic()
         while self._running:
-            self.tick_once()
+            try:
+                self.tick_once()
+            except Exception:  # noqa: BLE001 -- device/runtime failure
+                # elastic recovery (SURVEY.md section 5.3): sessions hear
+                # one tick of silence, the engine rebuilds its device
+                # state, and registered control planes replay parameters
+                # (ModelHost re-syncs every session's ParameterState).
+                # A second failure inside recover() is fatal by design --
+                # the device is gone, not glitched.
+                self.engine.recover()
+                for cb in self._recover_callbacks:
+                    cb()
             next_t += period
             if self.realtime:
                 delay = next_t - time.monotonic()
@@ -138,6 +150,11 @@ class StreamingServer:
                     time.sleep(delay)
                 else:
                     next_t = time.monotonic()  # fell behind; resync
+
+    def on_recover(self, callback) -> None:
+        """Register a control-plane callback run after elastic recovery
+        (e.g. replay each session's parameters into the fresh state)."""
+        self._recover_callbacks.append(callback)
 
     def start(self) -> None:
         if self._running:
@@ -149,7 +166,10 @@ class StreamingServer:
     def stop(self) -> None:
         self._running = False
         if self._thread is not None:
-            self._thread.join(timeout=5.0)
+            # wait out an in-flight tick: tearing the daemon thread down
+            # mid-XLA-dispatch at interpreter exit aborts the process
+            # ("exception not rethrown"); eager CPU ticks can take seconds
+            self._thread.join(timeout=60.0)
             self._thread = None
 
     def metrics(self) -> dict:

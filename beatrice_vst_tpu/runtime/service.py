@@ -95,6 +95,16 @@ class ModelHost:
                 self._bind(s)
             return s
 
+    def _replay_all_sessions(self) -> None:
+        """Post-recovery control-plane replay (StreamingServer.on_recover):
+        push every live session's authoritative ParameterState back into
+        the rebuilt engine -- the same restore-by-replay mechanism as
+        state loading (processor_proxy.cc:58-63)."""
+        with self._lock:
+            for s in self.sessions.values():
+                if s.stream is not None:
+                    s.proxy.sync_all_parameters()
+
     def _bind(self, s: ClientSession) -> None:
         """(Re)bind the proxy to the live engine and replay parameters."""
         s.proxy.core = StreamHandle(self.engine, s.stream.idx)
@@ -122,6 +132,7 @@ class ModelHost:
         )
         new_engine = StreamEngine(cfg, params, bank, jit=self.jit)
         new_server = StreamingServer(new_engine, realtime=self.realtime)
+        new_server.on_recover(self._replay_all_sessions)
 
         with self._lock:
             old_server = self.server

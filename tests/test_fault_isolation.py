@@ -127,3 +127,67 @@ def test_poisoned_stream_recovers_after_clean_input():
     out = np.concatenate(outs, axis=1)
     assert np.isfinite(out).all()
     assert np.abs(out[:, -4800:]).max() > 0  # audible again
+
+
+def test_engine_recover_rebuilds_state_and_reactivates():
+    """Elastic recovery (SURVEY 5.3): after a device failure the engine
+    rebuilds its state; occupied slots re-activate, contexts reset."""
+    eng = make_engine()
+    i0 = eng.admit()
+    i1 = eng.admit()
+    eng.set_control(i1, "target_speaker", np.int32(2))
+    x = tone_blocks(1, 3)
+    out = np.asarray(eng.tick(x))
+    assert np.abs(out[i0]).max() > 0
+
+    active = eng.recover()
+    assert sorted(active) == sorted([i0, i1])
+    assert eng.counters["recoveries"] == 1
+    # next tick applies the re-activation; streams produce audio again
+    out = np.asarray(eng.tick(x))
+    assert np.isfinite(out).all()
+    assert np.abs(out[i0]).max() > 0 and np.abs(out[i1]).max() > 0
+    # the never-admitted slot stays silent
+    assert np.abs(out[2]).max() == 0
+    # recovery resets controls to defaults; the control PLANE must replay
+    assert int(np.asarray(eng.state["controls"]["target_speaker"][i1])) == 0
+
+
+def test_server_recovers_from_tick_failure():
+    """The scheduler thread survives a transient device failure: one tick
+    of silence, engine rebuilt, registered replay callback invoked."""
+    import time
+
+    from beatrice_vst_tpu.runtime import StreamingServer
+
+    eng = make_engine()
+    server = StreamingServer(eng, realtime=False)
+    replayed = []
+    server.on_recover(lambda: replayed.append(True))
+
+    orig_tick = eng.tick
+    fail = {"n": 1}
+
+    def flaky_tick(audio):
+        if fail["n"]:
+            fail["n"] -= 1
+            raise RuntimeError("injected device failure")
+        return orig_tick(audio)
+
+    eng.tick = flaky_tick
+    server.start()
+    try:
+        s = server.open_session(48000.0)
+        deadline = time.monotonic() + 30.0
+        got = np.zeros(0, np.float32)
+        while time.monotonic() < deadline:
+            s.push(tone_blocks(1, 1)[0])
+            got = s.pull(480)
+            if eng.counters.get("recoveries") and len(got) and np.abs(got).max() > 0:
+                break
+            time.sleep(0.01)
+    finally:
+        server.stop()
+    assert eng.counters.get("recoveries") == 1
+    assert replayed, "recover callback not invoked"
+    assert len(got) and np.isfinite(got).all() and np.abs(got).max() > 0

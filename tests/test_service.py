@@ -92,3 +92,46 @@ def test_chunked_offline_matches_single_shot(model_dirs):
     # majority of samples to match tightly.
     mismatched = np.mean(np.abs(chunked - full) > 1e-3)
     assert mismatched < 0.02, f"{mismatched:.1%} of samples differ"
+
+
+def test_recovery_replays_session_parameters(model_dirs):
+    """After elastic recovery the ModelHost replays every session's
+    ParameterState into the rebuilt engine (restore-by-replay)."""
+    import time
+
+    d1, _ = model_dirs
+    host = ModelHost(capacity=2, realtime=False, jit=False)
+    assert host.load_model(d1) == ErrorCode.SUCCESS
+    s = host.open_session(48000.0)
+    s.set_parameter(ParameterID.VOICE, 2)
+    s.set_parameter(ParameterID.PITCH_SHIFT, 5.0)
+    eng = host.engine
+    idx = s.stream.idx
+
+    orig_tick = eng.tick
+    fail = {"n": 1}
+
+    def flaky(audio):
+        if fail["n"]:
+            fail["n"] -= 1
+            raise RuntimeError("injected failure")
+        return orig_tick(audio)
+
+    eng.tick = flaky
+    host.server.start()
+    try:
+        deadline = time.monotonic() + 60.0
+        while time.monotonic() < deadline:
+            s.push(tone(480))
+            # wait for recovery AND for the post-recovery flush tick (the
+            # jit=False eager tick is slow on CPU) to land the replay
+            if eng.counters.get("recoveries") and int(
+                np.asarray(eng.state["controls"]["target_speaker"][idx])
+            ) == 2:
+                break
+            time.sleep(0.05)
+    finally:
+        host.server.stop()
+    assert eng.counters.get("recoveries") == 1
+    assert int(np.asarray(eng.state["controls"]["target_speaker"][idx])) == 2
+    assert float(np.asarray(eng.state["controls"]["pitch_shift"][idx])) == 5.0
