@@ -166,17 +166,19 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
 
     Tap j reads input at time t - (k-1-j)*dilation; j == k-1 is "now".
 
-    Two state conventions over the SAME [B, R, Cin] buffer (R = (k-1)*d):
+    Two state conventions (R = (k-1)*d):
 
-    * linear (ring_pos=None): rows are the last R inputs in time order;
-      each call shifts the whole window (the chunk/offline path, any T).
+    * linear (ring_pos=None): [B, R, Cin], rows are the last R inputs in
+      time order; each call shifts the whole window (the chunk/offline
+      path, any T).
     * ring (ring_pos = scalar int frame index, T must be 1): row
       `n % R` holds input at time n; a step writes ONE row with a dynamic
       update (in-place under donation) and reads its k-1 taps by rotating
       index.  This removes the per-tick full-state concat + re-copy that
-      dominated the serving tick (the [B, 25, 256]-style concats at every
-      block plus their layout-conversion copies measured ~1.5 ms of a
-      6.9 ms tick at 6144 streams).
+      dominated the serving tick.  Layout per BEATRICE_RING_LAYOUT
+      (causal_conv_state): default ring-major [R, B, Cin] (contiguous
+      leading-axis row ops); 'bmajor' keeps [B, R, Cin] with the per-R
+      read/write mode table below.
 
     A zero state is valid under both conventions, so a stream can start in
     either mode from init_state; the two paths are numerically identical
@@ -195,23 +197,27 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
         r = r_exp
         c = state.shape[-1]
         pos = jnp.asarray(ring_pos, jnp.int32)
+        x_rb = x.reshape(1, *x.shape[:-2], c)  # [1, B, Cin] ring layout
         rows = [
             jax.lax.dynamic_slice_in_dim(
                 state, jnp.mod(pos - (k - 1 - j) * dilation, r), 1, axis=0
-            ).reshape(*x.shape[:-2], 1, c).astype(x.dtype)
+            ).astype(x.dtype)
             for j in range(k - 1)
         ]
-        xt = jnp.concatenate([*rows, x], axis=-1)  # [B, 1, k*Cin]
+        # assemble and contract in the ring layout [1, B, k*Cin]: the lone
+        # [1, B, Cout] -> [B, 1, Cout] move happens once on the small
+        # OUTPUT instead of per tap row on the inputs
+        xt = jnp.concatenate([*rows, x_rb.astype(x.dtype)], axis=-1)
         new_state = jax.lax.dynamic_update_slice_in_dim(
-            state, x.reshape(1, *x.shape[:-2], c).astype(state.dtype),
-            jnp.mod(pos, r), axis=0,
+            state, x_rb.astype(state.dtype), jnp.mod(pos, r), axis=0,
         )
         wt = w.reshape(k * w.shape[1], w.shape[2])
         if compute_dtype is not None:
             xt = xt.astype(compute_dtype)
             wt = wt.astype(compute_dtype)
         y = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
-        return y + b.astype(y.dtype), new_state
+        y = (y + b.astype(y.dtype)).reshape(*x.shape[:-1], w.shape[2])
+        return y, new_state
     r = state.shape[-2]
     if ring_pos is not None and r and t == 1 and r >= _ring_min_r():
         pos = jnp.asarray(ring_pos, jnp.int32)

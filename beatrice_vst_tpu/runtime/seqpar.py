@@ -21,7 +21,9 @@ harmonic source phase (waveform_generator._source_phases accumulates
     (uint32 wrap makes the synthetic left-pad of segment 0 consistent too);
   * the phase is an *associative prefix sum* of per-frame increments, so it
     parallelizes: pass A runs only the pitch stage per segment (cheap, ~15%
-    of chain FLOPs), a host-side float64 cumsum over the [B, T] increments
+    of chain FLOPs) and returns increments computed ON DEVICE by the
+    vocoder's own f32 ops (waveform_generator.frame_increments -- bitwise
+    what pass B will integrate); a host-side float64 prefix over them
     yields each segment's boundary phase, and pass B runs the full chain
     per segment with the phase injected.  Pass B's internal pitch path
     recomputes the same qp deterministically, so warmup increments cancel
