@@ -26,7 +26,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..constants import IN_HOP_LENGTH, VersionSpec
+from ..constants import VersionSpec
 from ..ops.frontend import MelFrontend
 from . import layers
 

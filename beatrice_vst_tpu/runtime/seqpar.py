@@ -38,7 +38,6 @@ engine's thousands-of-live-streams DP axis.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax
@@ -182,16 +181,17 @@ def convert_utterance_sp(params, cfg: VoiceConverterConfig, bank, audio,
             sh = NamedSharding(mesh, P(axis))
             segs = jax.device_put(segs, sh)
 
-    # ---- pass A: pitch only, per segment (exact for the real frames) ----
-    pitch_pass = _jitted_pitch_pass(cfg, compute_dtype)
-    inc0 = np.asarray(pitch_pass(params, seg0, cond1), np.float64)  # [B, F]
     zeros0 = jnp.zeros((b,), jnp.float32)
     if s == 1:
+        # degenerate: one segment == the sequential program (no pass A)
         y0 = _jitted_chain_pass(cfg, compute_dtype)(
             params, seg0, cond1, zeros0, zeros0
         )
         y24 = y0[:, : t_real * OUT_HOP_LENGTH]
     else:
+        # ---- pass A: pitch only, per segment (exact for real frames) ----
+        pitch_pass = _jitted_pitch_pass(cfg, compute_dtype)
+        inc0 = np.asarray(pitch_pass(params, seg0, cond1), np.float64)
         # ---- the one non-FIR carry: phase prefix on host (float64) ----
         inc_seg = np.asarray(pitch_pass(params, segs, cond),
                              np.float64).reshape(s - 1, b, w + f)

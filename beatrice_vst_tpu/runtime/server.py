@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-from ..constants import COMMON_HOP_LENGTH, COMMON_SAMPLE_RATE
+from ..constants import COMMON_SAMPLE_RATE
 from ..native import HostResampler, SpscRing
 
 

@@ -19,10 +19,8 @@ from __future__ import annotations
 
 import threading
 
-import jax
 
 from ..errors import BeatriceError, ErrorCode
-from ..models import chain
 from ..models.io import load_model_dir
 from ..params import ParameterID, ProcessorProxy
 from .engine import EngineConfig, StreamEngine
@@ -134,10 +132,13 @@ class ModelHost:
         new_server = StreamingServer(new_engine, realtime=self.realtime)
         new_server.on_recover(self._replay_all_sessions)
 
+        # stop the old scheduler BEFORE taking the lock: its thread may be
+        # inside a recovery replay (_replay_all_sessions) that needs
+        # self._lock, and stop() joins that thread -- classic deadlock
+        old_server = self.server
+        if old_server is not None:
+            old_server.stop()
         with self._lock:
-            old_server = self.server
-            if old_server is not None:
-                old_server.stop()
             self.engine = new_engine
             self.server = new_server
             self.model_config = config
