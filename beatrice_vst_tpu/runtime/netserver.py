@@ -91,12 +91,14 @@ class _Handler(socketserver.BaseRequestHandler):
                     op = msg.get("op")
                     if op == "hello":
                         session = host.open_session(float(msg.get("sample_rate", 48000)))
+                        # ACK before the pump starts so the first frame the
+                        # client sees is the handshake reply
+                        send_frame(self.request, MSG_JSON,
+                                   json.dumps({"ok": True, "session": session.session_id}).encode())
                         pump = threading.Thread(
                             target=self._pump, args=(session, pump_stop), daemon=True
                         )
                         pump.start()
-                        send_frame(self.request, MSG_JSON,
-                                   json.dumps({"ok": True, "session": session.session_id}).encode())
                     elif op == "set":
                         pid = _resolve_param(msg.get("param"))
                         if pid is None or session is None:
@@ -167,15 +169,22 @@ def serve(model_path: str, port: int = 7777, capacity: int = 64,
 class VCClient:
     """Minimal reference client (also used by tests)."""
 
-    def __init__(self, addr=("127.0.0.1", 7777), sample_rate=48000.0):
-        self.sock = socket.create_connection(addr, timeout=10.0)
+    def __init__(self, addr=("127.0.0.1", 7777), sample_rate=48000.0,
+                 timeout: float = 10.0):
+        # session setup replays the full parameter schema into the engine;
+        # the FIRST session after a model load may compile staging helpers
+        # (tens of seconds through a dev relay) -- raise `timeout` when
+        # connecting concurrently with cold caches
+        self.sock = socket.create_connection(addr, timeout=timeout)
         self.sample_rate = sample_rate
+        # buffers BEFORE the handshake: the server's pump thread may emit
+        # an audio frame ahead of the hello ACK, and _wait_json banks it
+        self._json_replies = []
+        self._audio = b""
         send_frame(self.sock, MSG_JSON,
                    json.dumps({"op": "hello", "sample_rate": sample_rate}).encode())
-        self._json_replies = []
         msg = self._wait_json()
         assert msg.get("ok"), msg
-        self._audio = b""
 
     def _wait_json(self):
         while True:
@@ -198,9 +207,15 @@ class VCClient:
     def pull(self, min_samples: int, timeout: float = 30.0):
         import time
 
-        self.sock.settimeout(0.2)
         deadline = time.time() + timeout
-        while len(self._audio) < min_samples * 4 and time.time() < deadline:
+        while len(self._audio) < min_samples * 4:
+            # bound each recv by the REMAINING deadline: a fixed 0.2 s
+            # socket timeout made every short poll block 0.2 s, throttling
+            # real-time clients to ~5% of real time
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            self.sock.settimeout(min(0.2, max(0.005, remaining)))
             try:
                 t, p = recv_frame(self.sock)
             except socket.timeout:

@@ -159,6 +159,14 @@ class StreamingServer:
     def start(self) -> None:
         if self._running:
             return
+        # the scheduler competes for the GIL with one handler + one pump
+        # thread per connection; the default 5 ms switch interval lets a
+        # busy peer hold the GIL for a whole frame budget -- tighten it so
+        # the 10 ms tick cadence survives many-session hosts
+        import sys as _sys
+
+        if _sys.getswitchinterval() > 0.001:
+            _sys.setswitchinterval(0.001)
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
