@@ -191,3 +191,44 @@ def test_server_recovers_from_tick_failure():
     assert eng.counters.get("recoveries") == 1
     assert replayed, "recover callback not invoked"
     assert len(got) and np.isfinite(got).all() and np.abs(got).max() > 0
+
+
+def test_recover_with_morph_slots_and_replay():
+    """Recovery in slots mode with a leased morph slot: the lease survives
+    (host bookkeeping), conditioning re-primes after the control plane
+    replays the morph parameters."""
+    from beatrice_vst_tpu.constants import V20RC0
+
+    cfg = EngineConfig.realtime(3, V20RC0)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, n_morph_slots=2)
+    params = chain.init(jax.random.PRNGKey(0), cfg.model)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(1), V20RC0, 3)
+    eng = StreamEngine(cfg, params, bank, jit=False)
+    for _ in range(3):
+        eng.admit()
+    w = np.zeros(256, np.float32)
+    w[0], w[1] = 0.6, 0.4
+    eng.set_control(0, "morph_weights", w)
+    eng.set_control(0, "morph_top_idx",
+                    np.asarray([0, 1, 0, 0, 0, 0, 0, 0], np.int32))
+    eng.set_control(0, "target_speaker", np.int32(3))  # morph mode
+    x = np.tile((0.2 * np.sin(2 * np.pi * 220 * np.arange(480) / 48000)
+                 ).astype(np.float32), (3, 1))
+    out0 = np.asarray(eng.tick(x))
+    assert np.abs(out0[0]).max() > 0
+    lease_before = dict(eng._morph_slot)
+
+    eng.recover()
+    assert eng._morph_slot == lease_before  # host lease bookkeeping kept
+    # control plane replays the morph parameters (what ModelHost does)
+    eng.set_control(0, "morph_weights", w)
+    eng.set_control(0, "morph_top_idx",
+                    np.asarray([0, 1, 0, 0, 0, 0, 0, 0], np.int32))
+    eng.set_control(0, "target_speaker", np.int32(3))
+    out = np.asarray(eng.tick(x))
+    out = np.asarray(eng.tick(x))
+    assert np.isfinite(out).all()
+    assert np.abs(out[0]).max() > 0  # the morph stream produces audio again
+    # and its slot bank row is re-primed (non-zero K rows)
+    assert np.abs(np.asarray(eng.state["kv_slots"]["k"])).max() > 0
