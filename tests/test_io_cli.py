@@ -87,3 +87,23 @@ def test_cli_end_to_end(tmp_path, capsys):
     y, sr2 = read_wav(wav_out)
     assert sr2 == sr and np.isfinite(y).all()
     assert abs(len(y) - sr // 2) < 1000
+
+
+def test_cli_convert_seq_parallel(tmp_path, capsys):
+    d = str(tmp_path / "model_sp")
+    cli_main(["init-model", d, "--voices", "2"])
+    capsys.readouterr()
+    sr = 16000
+    wav_in = str(tmp_path / "in_sp.wav")
+    out_seq = str(tmp_path / "out_seq.wav")
+    out_sp = str(tmp_path / "out_sp.wav")
+    t = np.arange(3 * sr) / sr  # 3 s: long enough for >1 segment (~71f RF)
+    write_wav(wav_in, 0.3 * np.sin(2 * np.pi * 200 * t).astype(np.float32), sr)
+    cli_main(["convert", wav_in, out_seq, "--model", d, "--voice", "1"])
+    cli_main(["convert", wav_in, out_sp, "--model", d, "--voice", "1",
+              "--seq-parallel", "3"])
+    a, _ = read_wav(out_seq)
+    b, _ = read_wav(out_sp)
+    n = min(len(a), len(b))
+    assert n > sr and np.isfinite(b).all()
+    assert np.max(np.abs(a[:n] - b[:n])) < 2e-3  # wav is 16-bit quantized
