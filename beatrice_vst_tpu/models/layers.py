@@ -42,13 +42,22 @@ def linear_init(key, in_dim, out_dim, dtype=jnp.float32):
     }
 
 
-def linear(params, x, compute_dtype=None):
+def linear(params, x, compute_dtype=None, out_dtype=None):
+    """y = x @ w + b.  With compute_dtype set, inputs cast to it and the
+    OUTPUT is emitted in it too (f32 MXU accumulation; the bias add and the
+    convert fuse into the dot's output fusion): the residual streams then
+    carry compute-dtype bytes instead of f32 -- at serving batch the f32
+    [B, 256] dot outputs were re-read by every residual add / layer norm
+    in one giant kLoop (~0.36 ms/tick at B=16384 on v5e).  out_dtype
+    overrides the emitted dtype (e.g. f32 pitch logits for the argmax)."""
     w, b = params["w"], params["b"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return y + b.astype(y.dtype)
+    y = y + b.astype(y.dtype)
+    target = out_dtype or compute_dtype
+    return y.astype(target) if target is not None else y
 
 
 # ------------------------------------------------------------ layer norm --
@@ -217,6 +226,8 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
             wt = wt.astype(compute_dtype)
         y = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
         y = (y + b.astype(y.dtype)).reshape(*x.shape[:-1], w.shape[2])
+        if compute_dtype is not None:
+            y = y.astype(compute_dtype)  # keep the residual stream narrow
         return y, new_state
     r = state.shape[-2]
     if ring_pos is not None and r and t == 1 and r >= _ring_min_r():
@@ -324,6 +335,8 @@ def causal_conv(params, x, state, dilation=1, compute_dtype=None,
         wt = wt.astype(compute_dtype)
     y = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
     y = y + b.astype(y.dtype)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
     return y, new_state
 
 

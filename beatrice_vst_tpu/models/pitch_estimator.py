@@ -99,8 +99,12 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
         h, ns = layers.conv_block(p, h, s, d, compute_dtype, ring_pos=t_index)
         new_block_states.append(ns)
     h = layers.layer_norm(params["out_ln"], h)
-    logits = layers.linear(params["logits"], h, compute_dtype).astype(jnp.float32)
-    features = layers.linear(params["features"], h, compute_dtype).astype(jnp.float32)
+    # f32 emission: the bin argmax should not round near-tied logits
+    # through bf16 (the heads are tiny, [B, bins] + [B, 4])
+    logits = layers.linear(params["logits"], h, compute_dtype,
+                           out_dtype=jnp.float32)
+    features = layers.linear(params["features"], h, compute_dtype,
+                             out_dtype=jnp.float32)
 
     bins = jnp.arange(cfg.pitch_bins)
     if min_quantized_pitch is None:

@@ -326,9 +326,15 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
     """
     b, t = quantized_pitch.shape
     qp = jnp.clip(quantized_pitch, 0, cfg.pitch_bins - 1)
+    pe = params["pitch_emb"]
+    if compute_dtype is not None:
+        # cast the [bins, hidden] table BEFORE the gather so the residual
+        # stream assembles fully in the compute dtype (an f32 term here
+        # would promote every residual add back to f32 width)
+        pe = pe.astype(compute_dtype)
     h = (
         layers.linear(params["phone_in"], phone, compute_dtype)
-        + params["pitch_emb"][qp]
+        + pe[qp]
         + layers.linear(params["feat_in"], pitch_features, compute_dtype)
     )
     spk = speaker_embedding
