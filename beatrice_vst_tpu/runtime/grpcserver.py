@@ -4,17 +4,22 @@ Same session semantics as the TCP/WebSocket front ends (one RPC == one
 ClientSession == one plugin instance in reference terms,
 src/vst/processor.cc:103), exposed as a gRPC service:
 
-    /beatrice.vc.VC/Convert   bidi stream; each message is raw bytes
-                              [tag: u8][payload]:
-                                tag 0  JSON control (hello/set/metrics/bye)
-                                tag 1  float32 PCM mono at the session rate
-    /beatrice.vc.VC/Metrics   unary; empty request -> JSON bytes
+    /beatrice.vc.VC/Convert   bidi stream of ClientMsg/ServerMsg
+    /beatrice.vc.VC/Metrics   unary MetricsRequest -> MetricsReply
 
-grpcio is present in this image but the protoc codegen plugin
-(grpc_tools) is not, so the service is registered through generic
-method handlers over raw bytes — any gRPC client in any language can
-call these paths with identity (de)serializers; the message layout is
-the TCP protocol's, minus the length prefix gRPC already provides.
+The wire contract is proto/vc.proto.  grpcio is present in this image but
+the protoc codegen plugin (grpc_tools) is not, so the service is
+registered through generic method handlers over raw bytes and the
+protobuf wire format is (de)coded by hand — every message in vc.proto
+uses only length-delimited fields (wire type 2), i.e.
+`key=(field_no<<3)|2, varint length, payload`, so the codec is ~20
+lines.  External clients codegen from vc.proto with stock protoc and
+interoperate byte-for-byte.
+
+Back-compat: the original raw framing ([tag:u8][payload], tag 0 = JSON
+control, tag 1 = float32 PCM) is still accepted on Convert; replies are
+sent in whichever dialect the client's messages use (legacy tags 0x00/
+0x01 never collide with proto keys 0x0a/0x12).
 """
 
 from __future__ import annotations
@@ -37,12 +42,75 @@ def _identity(b: bytes) -> bytes:
     return b
 
 
-def _json_msg(obj) -> bytes:
-    return bytes([TAG_JSON]) + json.dumps(obj, default=float).encode("utf-8")
+# --- hand-rolled protobuf codec for proto/vc.proto (wire type 2 only) ---
 
 
-def _audio_msg(audio: np.ndarray) -> bytes:
-    return bytes([TAG_AUDIO]) + np.ascontiguousarray(audio, np.float32).tobytes()
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field(field_no: int, payload: bytes) -> bytes:
+    return bytes([(field_no << 3) | 2]) + _pb_varint(len(payload)) + payload
+
+
+def _pb_fields(data: bytes):
+    """Iterate (field_no, payload) over a message of length-delimited fields."""
+    pos, n = 0, len(data)
+    while pos < n:
+        key = data[pos]
+        pos += 1
+        if key & 7 != 2:
+            raise ValueError(f"unsupported wire type {key & 7}")
+        ln = shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            ln |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        yield key >> 3, data[pos:pos + ln]
+        pos += ln
+
+
+def _decode_frame(data: bytes):
+    """-> (kind, payload, dialect): kind in {'json','audio',None}.
+
+    Legacy frames start with tag 0x00/0x01; proto ClientMsg fields start
+    with key 0x0a (control_json) / 0x12 (audio_f32) — disjoint first bytes.
+    """
+    tag = data[0]
+    if tag in (TAG_JSON, TAG_AUDIO):
+        return ("json" if tag == TAG_JSON else "audio"), data[1:], "legacy"
+    kind = payload = None
+    for field, chunk in _pb_fields(data):
+        if field == 1:
+            kind, payload = "json", chunk
+        elif field == 2:
+            kind, payload = "audio", chunk
+    return kind, payload, "proto"
+
+
+def _json_msg(obj, dialect: str = "proto") -> bytes:
+    raw = json.dumps(obj, default=float).encode("utf-8")
+    if dialect == "legacy":
+        return bytes([TAG_JSON]) + raw
+    return _pb_field(1, raw)
+
+
+def _audio_msg(audio: np.ndarray, dialect: str = "proto") -> bytes:
+    raw = np.ascontiguousarray(audio, np.float32).tobytes()
+    if dialect == "legacy":
+        return bytes([TAG_AUDIO]) + raw
+    return _pb_field(2, raw)
 
 
 class _ConvertHandler:
@@ -63,8 +131,9 @@ class _ConvertHandler:
                 for msg in request_iterator:
                     if not msg:
                         continue
-                    tag, payload = msg[0], msg[1:]
-                    if tag == TAG_JSON:
+                    kind, payload, dialect = _decode_frame(msg)
+                    if kind == "json":
+                        session_box["d"] = dialect
                         m = json.loads(payload.decode("utf-8"))
                         op = m.get("op")
                         if op == "hello":
@@ -73,26 +142,28 @@ class _ConvertHandler:
                             )
                             session_box["s"] = s
                             outq.put(_json_msg(
-                                {"ok": True, "session": s.session_id}))
+                                {"ok": True, "session": s.session_id}, dialect))
                         elif op == "set":
                             s = session_box.get("s")
                             pid = _resolve_param(m.get("param"))
                             if pid is None or s is None:
                                 outq.put(_json_msg(
-                                    {"ok": False, "error": "bad param/session"}))
+                                    {"ok": False, "error": "bad param/session"},
+                                    dialect))
                             else:
                                 err = s.set_parameter(pid, m.get("value"))
                                 outq.put(_json_msg(
                                     {"ok": err == ErrorCode.SUCCESS,
-                                     "code": int(err)}))
+                                     "code": int(err)}, dialect))
                         elif op == "metrics":
-                            outq.put(_json_msg(self.host.metrics()))
+                            outq.put(_json_msg(self.host.metrics(), dialect))
                         elif op == "bye":
                             break
                         else:
                             outq.put(_json_msg(
-                                {"ok": False, "error": f"unknown op {op!r}"}))
-                    elif tag == TAG_AUDIO and "s" in session_box:
+                                {"ok": False, "error": f"unknown op {op!r}"},
+                                dialect))
+                    elif kind == "audio" and "s" in session_box:
                         session_box["s"].push(np.frombuffer(payload, np.float32))
             except Exception:
                 pass
@@ -111,7 +182,9 @@ class _ConvertHandler:
                 out = s.pull(4096)
                 if len(out):
                     try:
-                        outq.put(_audio_msg(out), timeout=1.0)
+                        outq.put(
+                            _audio_msg(out, session_box.get("d", "proto")),
+                            timeout=1.0)
                     except queue.Full:
                         pass  # slow client: drop rather than stall the engine
                 else:
@@ -140,7 +213,9 @@ def make_server(model_host, port: int = 0, host_addr: str = "127.0.0.1",
     import grpc
 
     def metrics_handler(request, context):
-        return json.dumps(model_host.metrics(), default=float).encode("utf-8")
+        # MetricsReply{json = <metrics object>} per proto/vc.proto.
+        raw = json.dumps(model_host.metrics(), default=float).encode("utf-8")
+        return _pb_field(1, raw)
 
     handlers = {
         "Convert": grpc.stream_stream_rpc_method_handler(
@@ -186,11 +261,17 @@ def serve_grpc(model_path: str, port: int = 7779, capacity: int = 64,
 
 
 class GRPCClient:
-    """Minimal reference client (also used by tests)."""
+    """Minimal reference client (also used by tests).
 
-    def __init__(self, target: str, sample_rate: float = 48000.0):
+    Speaks the proto/vc.proto dialect by default; pass dialect="legacy"
+    for the original raw tag framing.
+    """
+
+    def __init__(self, target: str, sample_rate: float = 48000.0,
+                 dialect: str = "proto"):
         import grpc
 
+        self.dialect = dialect
         self.channel = grpc.insecure_channel(target)
         self._call = self.channel.stream_stream(
             f"/{SERVICE}/Convert",
@@ -204,7 +285,8 @@ class GRPCClient:
         self._audio_cv = threading.Condition()
         self._closed = threading.Event()
         threading.Thread(target=self._reader, daemon=True).start()
-        self._sendq.put(_json_msg({"op": "hello", "sample_rate": sample_rate}))
+        self._sendq.put(_json_msg(
+            {"op": "hello", "sample_rate": sample_rate}, self.dialect))
         msg = self._json_q.get(timeout=30.0)
         assert msg.get("ok"), msg
 
@@ -213,10 +295,10 @@ class GRPCClient:
             for msg in self._resp:
                 if not msg:
                     continue
-                tag, payload = msg[0], msg[1:]
-                if tag == TAG_JSON:
+                kind, payload, _ = _decode_frame(msg)
+                if kind == "json":
                     self._json_q.put(json.loads(payload.decode("utf-8")))
-                elif tag == TAG_AUDIO:
+                elif kind == "audio":
                     with self._audio_cv:
                         self._audio.extend(payload)
                         self._audio_cv.notify_all()
@@ -228,15 +310,16 @@ class GRPCClient:
                 self._audio_cv.notify_all()
 
     def set_parameter(self, name, value):
-        self._sendq.put(_json_msg({"op": "set", "param": name, "value": value}))
+        self._sendq.put(_json_msg(
+            {"op": "set", "param": name, "value": value}, self.dialect))
         return self._json_q.get(timeout=30.0)
 
     def metrics(self):
-        self._sendq.put(_json_msg({"op": "metrics"}))
+        self._sendq.put(_json_msg({"op": "metrics"}, self.dialect))
         return self._json_q.get(timeout=30.0)
 
     def push(self, audio: np.ndarray):
-        self._sendq.put(_audio_msg(audio))
+        self._sendq.put(_audio_msg(audio, self.dialect))
 
     def pull(self, min_samples: int, timeout: float = 30.0):
         import time
@@ -255,7 +338,7 @@ class GRPCClient:
 
     def close(self):
         try:
-            self._sendq.put(_json_msg({"op": "bye"}))
+            self._sendq.put(_json_msg({"op": "bye"}, self.dialect))
             self._sendq.put(None)
         except Exception:
             pass

@@ -52,6 +52,18 @@ def test_grpc_client_roundtrip(server):
     c.close()
 
 
+def test_grpc_client_legacy_dialect(server):
+    """Back-compat: the original [tag:u8][payload] framing still works."""
+    c = GRPCClient(server, sample_rate=48000.0, dialect="legacy")
+    r = c.set_parameter("voice", 1)
+    assert r["ok"], r
+    t = np.arange(48000 // 4) / 48000
+    c.push((0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32))
+    out = c.pull(2400, timeout=60.0)
+    assert len(out) >= 2400
+    c.close()
+
+
 def test_grpc_client_bad_param(server):
     c = GRPCClient(server, sample_rate=48000.0)
     r = c.set_parameter("no_such_param", 1)
@@ -62,12 +74,40 @@ def test_grpc_client_bad_param(server):
 def test_grpc_unary_metrics(server):
     import grpc
 
+    from beatrice_vst_tpu.runtime.grpcserver import _pb_fields
+
     channel = grpc.insecure_channel(server)
     call = channel.unary_unary(
         f"/{SERVICE}/Metrics",
         request_serializer=lambda b: b,
         response_deserializer=lambda b: b,
     )
-    m = json.loads(call(b"").decode("utf-8"))
+    # Reply is MetricsReply{json: string} per proto/vc.proto.
+    fields = dict(_pb_fields(call(b"")))
+    m = json.loads(fields[1].decode("utf-8"))
     assert isinstance(m, dict)
     channel.close()
+
+
+def test_pb_codec_roundtrip():
+    """The hand-rolled codec survives multi-byte varint lengths and
+    round-trips both oneof arms."""
+    from beatrice_vst_tpu.runtime.grpcserver import (
+        _audio_msg, _decode_frame, _json_msg, _pb_fields)
+
+    big = np.arange(70000, dtype=np.float32)  # payload > 2**18 bytes
+    kind, payload, dialect = _decode_frame(_audio_msg(big))
+    assert (kind, dialect) == ("audio", "proto")
+    assert np.array_equal(np.frombuffer(payload, np.float32), big)
+
+    obj = {"op": "hello", "sample_rate": 48000.0}
+    kind, payload, dialect = _decode_frame(_json_msg(obj))
+    assert (kind, dialect) == ("json", "proto")
+    assert json.loads(payload.decode("utf-8")) == obj
+
+    kind, payload, dialect = _decode_frame(_json_msg(obj, "legacy"))
+    assert (kind, dialect) == ("json", "legacy")
+
+    # a message with several fields decodes field-by-field
+    msg = _json_msg(obj) + _audio_msg(np.zeros(3, np.float32))
+    assert [f for f, _ in _pb_fields(msg)] == [1, 2]
