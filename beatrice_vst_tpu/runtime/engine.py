@@ -601,6 +601,10 @@ class StreamEngine:
         self._morph_mode: set[int] = set()
         self._last_top: dict[int, int] = {}
         self._slot_dirty: set[int] = set()
+        # host-side shadow of every control set via set_control(), keyed
+        # stream -> field -> last value; recover() replays it so a raw
+        # engine user (no ModelHost) keeps their controls across recovery
+        self._applied: dict[int, dict[str, np.ndarray]] = {}
 
     # ---- stream table ----
 
@@ -617,6 +621,7 @@ class StreamEngine:
         # into the new stream (processor.cc:88-98 ResetContext semantics)
         self._pending_reset.add(idx)
         self._slot_used[idx] = True
+        self._applied.pop(idx, None)  # fresh tenant starts from defaults
         self.stage.stage(idx, "active", True)
         self._kv_dirty.add(idx)
         if self._slots_mode:
@@ -629,6 +634,7 @@ class StreamEngine:
     def evict(self, idx: int) -> None:
         self.stage.stage(idx, "active", False)
         self._free.append(idx)
+        self._applied.pop(idx, None)
         if self._slots_mode:
             self._release_morph_slot(idx)
             self._morph_mode.discard(idx)
@@ -664,6 +670,7 @@ class StreamEngine:
 
     def set_control(self, idx: int, field: str, value) -> None:
         self.stage.stage(idx, field, value)
+        self._applied.setdefault(int(idx), {})[field] = np.asarray(value)
         if field in ("morph_weights", "morph_top_idx"):
             self._morph_dirty.add(int(idx))
             self._kv_dirty.add(int(idx))
@@ -728,15 +735,16 @@ class StreamEngine:
 
     def recover(self) -> list[int]:
         """Elastic recovery after a device failure (SURVEY.md section 5.3):
-        rebuild the device state from scratch -- fresh carries, default
-        controls -- while keeping the host-side stream table.  Occupied
-        slots are re-activated (and their KV/morph conditioning marked
-        dirty so the next flush re-primes it); per-stream *parameters*
-        beyond that are the control plane's to replay (ModelHost replays
-        each session's ParameterState, the same restore-by-replay path as
-        state loading).  Streaming contexts reset to zero -- the reference
-        itself never persists contexts (processor.cc:88-98), so this is a
-        ResetContext across the batch, not data loss.
+        rebuild the device state from scratch while keeping the host-side
+        stream table AND the last-applied per-stream controls.  Occupied
+        slots are re-activated, every control ever set through
+        set_control() is replayed from the host-side shadow (so a raw
+        engine user needs no external control plane; ModelHost's
+        ParameterState replay on top of this is idempotent), and KV/morph
+        conditioning is marked dirty so the next flush re-primes it.
+        Streaming contexts reset to zero -- the reference itself never
+        persists contexts (processor.cc:88-98), so this is a ResetContext
+        across the batch, not data loss.
 
         Returns the indices of the re-activated slots.
         """
@@ -751,6 +759,10 @@ class StreamEngine:
         for idx in active:
             self.stage.stage(idx, "active", True)
             self._kv_dirty.add(idx)
+            # replay the control shadow in original set order (dict
+            # insertion order == the order the user first set each field)
+            for field, value in list(self._applied.get(idx, {}).items()):
+                self.set_control(idx, field, value)
             if self._slots_mode:
                 slot = self._morph_slot.get(idx)
                 if slot is not None:

@@ -149,8 +149,47 @@ def test_engine_recover_rebuilds_state_and_reactivates():
     assert np.abs(out[i0]).max() > 0 and np.abs(out[i1]).max() > 0
     # the never-admitted slot stays silent
     assert np.abs(out[2]).max() == 0
-    # recovery resets controls to defaults; the control PLANE must replay
-    assert int(np.asarray(eng.state["controls"]["target_speaker"][i1])) == 0
+    # recovery replays the engine-level control shadow (no ModelHost needed)
+    assert int(np.asarray(eng.state["controls"]["target_speaker"][i1])) == 2
+
+
+def test_engine_recover_replays_controls_without_model_host():
+    """Raw-engine recovery preserves controls: the engine keeps a host-side
+    shadow of everything set via set_control and replays it on recover(),
+    so a recovered engine is indistinguishable from a freshly built one
+    with the same controls (bit-identical output)."""
+    from beatrice_vst_tpu.constants import MAX_N_SPEAKERS, SPH_AVG_MAX_N_SPEAKERS
+
+    def setup(eng):
+        i0 = eng.admit()
+        i1 = eng.admit()
+        eng.set_control(i1, "target_speaker", np.int32(2))
+        eng.set_control(i1, "pitch_shift", np.float32(4.0))
+        eng.set_control(i0, "intonation_intensity", np.float32(0.5))
+        w = np.zeros(MAX_N_SPEAKERS, np.float32)
+        w[0], w[2] = 0.6, 0.4
+        top = np.zeros(SPH_AVG_MAX_N_SPEAKERS, np.int32)
+        top[1] = 2
+        eng.set_control(i0, "morph_weights", w)
+        eng.set_control(i0, "morph_top_idx", top)
+        return i0, i1
+
+    eng = make_engine()
+    i0, i1 = setup(eng)
+    x = tone_blocks(1, 3)
+    eng.tick(x)  # run a tick so carries are non-trivial before the failure
+    eng.recover()
+    out_recovered = np.asarray(eng.tick(x))
+
+    fresh = make_engine()
+    setup(fresh)
+    out_fresh = np.asarray(fresh.tick(x))
+
+    c = eng.state["controls"]
+    assert int(np.asarray(c["target_speaker"][i1])) == 2
+    assert float(np.asarray(c["pitch_shift"][i1])) == 4.0
+    assert float(np.asarray(c["intonation_intensity"][i0])) == 0.5
+    np.testing.assert_array_equal(out_recovered, out_fresh)
 
 
 def test_server_recovers_from_tick_failure():
