@@ -21,11 +21,13 @@ import numpy as np
 
 from .constants import (
     IN_HOP_LENGTH,
+    MAX_N_SPEAKERS,
     OUT_HOP_LENGTH,
     OUT_SAMPLE_RATE,
     PITCH_BIN_ZERO_HZ,
     PITCH_BINS_PER_OCTAVE,
     PITCH_BINS_PER_SEMITONE,
+    VOICE_MORPH_WEIGHT_THRESHOLD,
 )
 from .ops.frontend import mel_filterbank
 
@@ -219,21 +221,210 @@ def waveform_forward(p, cfg, phone, qp, feats, spk, kv=None):
     return np.tanh(y[:, 0])
 
 
+# ---- speaker morphing oracle (float64) -------------------------------------
+#
+# Mirrors the morph semantics of the reference (voice_morph_state.h:50-104,
+# processor_core_2.cc:93-181, spherical_average.h) from the spec, so the
+# morph/formant/lottery path of speakers/morpher.py can be golden-tested
+# end-to-end through the chain.
+
+_MORPH_EPSILON = 0.0008
+LOTTERY_SALT = 0x10777E  # must match speakers/morpher.LOTTERY_SALT
+
+
+def morph_voice_weights(cursor_x, cursor_y, falloff, marker_voice_id,
+                        marker_x, marker_y, marker_count,
+                        max_n_speakers=MAX_N_SPEAKERS):
+    """Morph-pad weights for one stream: markers -> dense per-voice weights
+    (voice_morph_state.h:50-85)."""
+    marker_x = np.asarray(marker_x, np.float64)
+    marker_y = np.asarray(marker_y, np.float64)
+    idx = np.arange(marker_x.shape[0])
+    active = idx < marker_count
+    if falloff <= 0.0:
+        w = active.astype(np.float64) / max(float(marker_count), 1.0)
+    else:
+        d2 = (cursor_x - marker_x) ** 2 + (cursor_y - marker_y) ** 2
+        w = np.where(active, (d2 + _MORPH_EPSILON) ** -float(falloff), 0.0)
+        w = w / max(w.sum(), 1e-30)
+    dense = np.zeros(max_n_speakers)
+    for m in idx[active]:
+        dense[int(np.clip(marker_voice_id[m], 0, max_n_speakers - 1))] += w[m]
+    return dense
+
+
+def prepare_morph_weights(weights, n_speakers):
+    """Fold out-of-range weights into the last speaker, threshold at 0.01
+    (voice_morph_state.h:87-104)."""
+    w = np.asarray(weights, np.float64).copy()
+    count = min(int(n_speakers), w.shape[0])
+    if count <= 0:
+        return np.zeros_like(w)
+    w[count - 1] += w[count:].sum()
+    w[count:] = 0.0
+    w[w < VOICE_MORPH_WEIGHT_THRESHOLD] = 0.0
+    return w
+
+
+def prune_top8(weights, k=8):
+    """Keep the k largest weights (lowest index wins ties, like lax.top_k);
+    returns (pruned, indices most-weighted-first)."""
+    w = np.asarray(weights, np.float64)
+    idx = np.argsort(-w, kind="stable")[:k]
+    pruned = np.zeros_like(w)
+    pruned[idx] = w[idx]
+    return pruned, idx
+
+
+def spherical_weighted_average(p_raw, w, n_iters=4):
+    """Weighted spherical (Buss-Fillmore) mean of N unnormalized vectors,
+    solved with L-BFGS(memory=2) on the sphere -- float64 mirror of the
+    reference algorithm (spherical_average.h:81-444) including its
+    stale-row UpdateVGDT quirk; result re-projected to unnormalized space
+    (GetResult, spherical_average.h:237-244)."""
+    p_raw = np.asarray(p_raw, np.float64)
+    w = np.asarray(w, np.float64)
+    eps = np.finfo(np.float64).eps
+    norms = np.linalg.norm(p_raw, axis=-1, keepdims=True)
+    p = np.where(norms > 0.0, p_raw / np.maximum(norms, 1e-30), p_raw)
+    w_sum = w.sum()
+    if w_sum <= 0.0:
+        return np.zeros(p_raw.shape[1])
+    wn = w / w_sum
+    q = wn @ p
+    q_norm = np.linalg.norm(q)
+    if q_norm <= 0.0:
+        return np.zeros(p_raw.shape[1])
+    q = q / q_norm
+
+    K, m = 2, p_raw.shape[1]
+    s_hist, t_hist = np.zeros((K, m)), np.zeros((K, m))
+    r_hist, gamma, mem = np.zeros(K), 1.0, 0
+
+    def vgd(q):
+        cos = np.clip(p @ q, -1.0, 1.0)
+        theta = np.arccos(cos)
+        inv_sinc = 1.0 / (np.sinc(theta / np.pi) + eps)
+        v_un = wn * inv_sinc
+        v = v_un / (np.sum(wn * cos * inv_sinc) + eps)
+        g = (-2.0 * v_un) @ p
+        g = g - (q @ g) * q
+        d = g.copy()
+        a = np.zeros(K)
+        for k in range(K):
+            i = (mem - k - 1) % K
+            a[i] = r_hist[i] * (s_hist[i] @ d)
+            d = d - a[i] * t_hist[i]
+        d = gamma * d
+        for k in range(K):
+            i = (mem + k) % K
+            b = r_hist[i] * (t_hist[i] @ d)
+            d = d + (a[i] - b) * s_hist[i]
+        return v, g, d
+
+    v, g, d = vgd(q)
+    for _ in range(n_iters):
+        if np.linalg.norm(d) < 8.0 * eps:
+            break
+        q_new = q - d
+        q_new = q_new / max(np.linalg.norm(q_new), 1e-30)
+        s_hist[mem] = q_new - q
+        t_hist[mem] = g  # stale row deliberately read by the recursion below
+        v, g_new, d = vgd(q_new)
+        t_row = g_new - g
+        t_row = t_row - (q_new @ t_row) * q_new
+        t_hist[mem] = t_row
+        st = s_hist[mem] @ t_row
+        r_hist[mem] = 1.0 / (st if st != 0.0 else eps)
+        tt = t_row @ t_row
+        gamma = st / (tt if tt != 0.0 else eps)
+        mem = (mem + 1) % K
+        q, g = q_new, g_new
+    return v @ p_raw
+
+
+def codebook_lottery(w8, top8, n_speakers, frame_counter):
+    """Per-frame weighted random codebook pick (processor_core_2.cc:93-121):
+    w8/top8 from prune_top8 gathered at the top indices; frame_counter [T]
+    uint32 drives the deterministic hash RNG.  Returns [T] speaker ids."""
+    u = (hash_noise(np.asarray(frame_counter, np.uint32), 1,
+                    LOTTERY_SALT)[..., 0] + 1.0) * 0.5
+    total = float(np.sum(w8))
+    if total <= float(np.finfo(np.float32).eps):
+        uniform = np.floor(u * n_speakers).astype(np.int64)
+        return np.clip(uniform, 0, max(n_speakers - 1, 0))
+    cum = np.cumsum(np.asarray(w8, np.float64))
+    pick = np.argmax(cum[None, :] > (u * total)[:, None], axis=-1)
+    return np.asarray(top8)[pick]
+
+
+def morph_conditioning(bank, dense_weights, n_speakers, formant_index=4,
+                       n_iters=4):
+    """Morph-mode conditioning: spherical-average the additive and KV
+    embeddings over the pruned top-8 speakers and add the formant-shift
+    embedding (processor_core_2.cc:124-181, 468-481).
+
+    bank: numpy speaker bank (additive [S,C], formant [9,C], kv [S,L,C]).
+    Returns (speaker_embedding [C], kv [L,C] | None, pruned [S], top8 [8]).
+    """
+    w = prepare_morph_weights(dense_weights, n_speakers)
+    pruned, top8 = prune_top8(w)
+    w8 = pruned[top8]
+    # zero-weight top-8 slots may point past the real speaker count (the
+    # dense weight vector is MAX_N_SPEAKERS wide); they are excluded from
+    # the average, so clip the gather like the JAX side does
+    safe8 = np.clip(top8, 0, bank["additive"].shape[0] - 1)
+    additive = spherical_weighted_average(
+        np.asarray(bank["additive"], np.float64)[safe8], w8, n_iters)
+    additive = additive + np.asarray(bank["formant"], np.float64)[
+        int(np.clip(formant_index, 0, 8))]
+    kv = None
+    if "kv" in bank:
+        pts = np.asarray(bank["kv"], np.float64)[safe8]  # [8, L, C]
+        kv = np.stack([
+            spherical_weighted_average(pts[:, l], w8, n_iters)
+            for l in range(pts.shape[1])
+        ])
+    return additive, kv, pruned, top8
+
+
+def vq_knn_per_frame(phone, codebook_bank, idx, n):
+    """k-NN smoothing with a per-frame codebook choice (the lottery path):
+    codebook_bank [S, K, C], idx [T] speaker per frame."""
+    if n <= 0:
+        return phone
+    out = np.empty_like(phone)
+    for t in range(phone.shape[0]):
+        cb = np.asarray(codebook_bank[int(idx[t])], np.float64)
+        dist = (cb ** 2).sum(axis=-1) - 2.0 * cb @ phone[t]
+        j = np.argsort(dist, kind="stable")[:n]
+        out[t] = cb[j].mean(axis=0)
+    return out
+
+
 def chain_forward(params, cfg, audio16, *, target_settings=None):
     """Full offline forward for ONE stream: [T*160] @16k -> [T*240] @24k.
 
     target_settings: dict with speaker_embedding [256], kv [384,128],
     codebook [512,128], vq_num_neighbors, min_q, max_q,
     average_source_pitch, intonation_intensity, pitch_shift,
-    pitch_correction, pitch_correction_type.
+    pitch_correction, pitch_correction_type.  For the morph lottery path,
+    codebook_bank [S,512,128] + codebook_idx [T] select a codebook per
+    frame instead of the single per-stream codebook.
     """
     s = dict(target_settings or {})
     p = _np(params)
     spec = cfg.spec
     phone = phone_forward(p["phone"], cfg, np.asarray(audio16, np.float64))
     if spec.has_vq:
-        phone = vq_knn(phone, np.asarray(s["codebook"], np.float64),
-                       int(s.get("vq_num_neighbors", 0)))
+        if "codebook_bank" in s:
+            phone = vq_knn_per_frame(
+                phone, np.asarray(s["codebook_bank"], np.float64),
+                np.asarray(s["codebook_idx"], np.int64),
+                int(s.get("vq_num_neighbors", 0)))
+        else:
+            phone = vq_knn(phone, np.asarray(s["codebook"], np.float64),
+                           int(s.get("vq_num_neighbors", 0)))
     qp_raw, feats = pitch_forward(
         p["pitch"], cfg, np.asarray(audio16, np.float64),
         int(s.get("min_q", 1)), int(s.get("max_q", spec.pitch_bins - 1)),
