@@ -264,6 +264,12 @@ def _controller_avg_source(controller: ControllerCore, value: float) -> ErrorCod
 
 
 def _controller_voice_morph(controller: ControllerCore, value) -> ErrorCode:
+    # Deliberate no-op, matching the reference exactly: its
+    # SetVoiceMorphParameterOnController is `return kSuccess` with no
+    # coupled updates (parameter_schema.cc:32-34); morph-pad layout changes
+    # are driven by the editor through the 28 plain parameters
+    # (editor_morph_controller.cc), and the morph-average-pitch coupling
+    # happens at model load (_controller_model, parameter_schema.cc:82-129).
     return ErrorCode.SUCCESS
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
@@ -509,6 +510,48 @@ def _stream_axes(cfg: EngineConfig):
     }
 
 
+def _ring_layout_formats(cfg: EngineConfig):
+    """Pytree of layout Formats over the engine state pinning every
+    ring-major [R, B, C] conv carry to B-minormost (B on lanes).
+
+    Why: at serving batch the tick's activations live B-on-lanes, so the
+    ring tap reads want rows in that layout -- but donation pins the state
+    parameter layout equal to the output layout, and XLA resolves the
+    conflict by relayouting the ENTIRE ring before slicing 3 rows
+    (profiled at 17408: 0.64 ms for the R=24 phone ring alone, ~1.2 ms
+    across all rings, pure HBM rewrites).  Pinning the stored layout to
+    what the reads want removes every one of those copies: measured
+    9.32 -> 8.10 ms/tick at 17408 on v5e.  The one-row DUS write is
+    layout-matched too (the written row comes from the same B-on-lanes
+    activations).
+
+    Returns None (== let XLA choose) off-TPU or when disabled via
+    BEATRICE_RING_PIN_LAYOUT=0.
+    """
+    if os.environ.get("BEATRICE_RING_PIN_LAYOUT", "1") != "1":
+        return None
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+    except ImportError:  # older jax: fall back to XLA's choice
+        return None
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None  # CPU/GPU layout support differs; only TPU is profiled
+    shard = SingleDeviceSharding(dev)
+    shapes = jax.eval_shape(lambda: init_engine_state(cfg))
+    axes = _stream_axes(cfg)
+
+    def fmt(leaf, axis):
+        if leaf.ndim == 3 and axis == 1:  # ring-major [R, B, C]
+            return Format(Layout(major_to_minor=(0, 2, 1)), shard)
+        return Format()
+
+    out = jax.tree_util.tree_map(lambda _: Format(), shapes)
+    out["model"] = jax.tree_util.tree_map(fmt, shapes["model"], axes["model"])
+    return out
+
+
 @functools.lru_cache(maxsize=16)
 def _jitted_reset(cfg: EngineConfig):
     """Zero the carries of masked stream slots (admission / ResetContext,
@@ -583,7 +626,20 @@ class StreamEngine:
         self._free = list(range(cfg.capacity - 1, -1, -1))
         self._morph_dirty: set[int] = set()
         tick = functools.partial(engine_tick, cfg=cfg)
-        self._tick = jax.jit(tick, donate_argnums=(2,)) if jit else tick
+        if jit:
+            fmts = _ring_layout_formats(cfg)
+            if fmts is not None:
+                from jax.experimental.layout import Format
+
+                self._tick = jax.jit(
+                    tick, donate_argnums=(2,),
+                    in_shardings=(Format(), Format(), fmts, Format()),
+                    out_shardings=(Format(), fmts),
+                )
+            else:
+                self._tick = jax.jit(tick, donate_argnums=(2,))
+        else:
+            self._tick = tick
         from .metrics import EngineMetrics
 
         self.metrics = EngineMetrics()

@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 CAPACITIES = tuple(
-    int(c) for c in os.environ.get("BENCH_CAPACITIES", "15360,16384,17408").split(",")
+    int(c) for c in os.environ.get("BENCH_CAPACITIES", "18432,19456,20480").split(",")
 )
 N_WINDOWS = 4
 TICKS_PER_WINDOW = 50
