@@ -103,7 +103,8 @@ def default_cond(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
 
 
 def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
-          compute_dtype=None, t_index=None, vq_int8_query: bool = False):
+          compute_dtype=None, t_index=None, vq_int8_query: bool = False,
+          with_taps: bool = False):
     """audio16: [B, T*160] @16 kHz -> (audio24 [B, T*240] @24 kHz, state).
 
     t_index: optional scalar absolute frame index (T=1 only) -- switches
@@ -111,6 +112,11 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     updates instead of whole-window shifts; see layers.causal_conv).  The
     serving engine threads its tick counter here; chunk/offline callers
     leave it None.  A zero state is valid under both conventions.
+
+    with_taps=True returns (audio24, state, taps) where taps exposes the
+    stage boundaries (phone features, raw + transformed quantized pitch,
+    pitch aux features) -- the supervision points for per-module feature
+    distillation (training/feature_distill.py).
     """
     spec = cfg.spec
 
@@ -167,6 +173,10 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         t_index=t_index,
     )
     new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
+    if with_taps:
+        taps = {"phone": phone, "qp_raw": qp_raw, "qp": qp,
+                "pitch_feats": pitch_feats}
+        return audio24, new_state, taps
     return audio24, new_state
 
 

@@ -83,17 +83,30 @@ class StreamSession:
 
 
 class StreamingServer:
-    """Owns the engine + the scheduler thread ticking every 10 ms."""
+    """Owns the engine + the scheduler thread ticking every 10 ms.
 
-    def __init__(self, engine, realtime: bool = True):
+    ``pipeline=True`` overlaps host I/O with device compute: each tick
+    dispatches the engine on this tick's input, then converts the
+    *previous* tick's still-in-flight output to host memory while the
+    device works (JAX async dispatch).  Costs one tick of added latency
+    (frames_per_tick * 10 ms); buys back the device->host read time,
+    which through the dev relay is the dominant cost of the serving
+    loop.  The D2H read also slices the batch to the occupied low rows
+    (admission allocates low indices first) so a 4-session host on a
+    16k-capacity engine reads [5, n] instead of [16384, n].
+    """
+
+    def __init__(self, engine, realtime: bool = True, pipeline: bool = False):
         self.engine = engine
         self.realtime = realtime
+        self.pipeline = pipeline
         self.sessions: dict[int, StreamSession] = {}
         self._lock = threading.Lock()
         self._running = False
         self._thread: threading.Thread | None = None
         cap = engine.cfg.capacity
         self._in_host = np.zeros((cap, engine.cfg.samples_per_tick), np.float32)
+        self._inflight: tuple | None = None  # (out_dev, sessions) of tick t-1
         self._recover_callbacks: list = []
 
     # -- session management --
@@ -112,8 +125,26 @@ class StreamingServer:
 
     # -- scheduler --
 
+    def _scatter(self, out_dev, sessions) -> None:
+        """Convert a tick output to host and fan it out to its sessions.
+
+        Reads only rows [0, max_idx] -- slot admission is low-index-first,
+        so the D2H transfer scales with the live session count, not the
+        engine capacity (through the dev relay a full-capacity read is
+        ~150 ms; a handful of rows is ~10 ms)."""
+        if not sessions:
+            return
+        hi = max(s.idx for s in sessions) + 1
+        out = np.asarray(out_dev[:hi])
+        for s in sessions:
+            s.ring_out.write(out[s.idx])
+
     def tick_once(self) -> None:
-        """One scheduler tick: gather inputs, run the engine, scatter."""
+        """One scheduler tick: gather inputs, run the engine, scatter.
+
+        In pipeline mode the scatter is of the PREVIOUS tick's output:
+        the current tick's device work proceeds while the host converts
+        and distributes tick t-1 (async dispatch overlap)."""
         n = self.engine.cfg.samples_per_tick
         with self._lock:
             sessions = list(self.sessions.values())
@@ -123,9 +154,23 @@ class StreamingServer:
             if len(got) < n:
                 s.underruns += 1
             self._in_host[s.idx, : len(got)] = got
-        out = np.asarray(self.engine.tick(self._in_host))
-        for s in sessions:
-            s.ring_out.write(out[s.idx])
+        out_dev = self.engine.tick(self._in_host)
+        if not self.pipeline:
+            self._scatter(out_dev, sessions)
+            return
+        prev = self._inflight
+        self._inflight = (out_dev, sessions)
+        if prev is not None:
+            self._scatter(*prev)
+
+    def flush_pipeline(self) -> None:
+        """Drain the in-flight tick (pipeline mode): scatter its output
+        without running another engine tick.  Call before teardown or
+        when manual-ticking (realtime=False) and the last outputs are
+        needed now."""
+        prev, self._inflight = self._inflight, None
+        if prev is not None:
+            self._scatter(*prev)
 
     def _loop(self) -> None:
         period = self.engine.cfg.frames_per_tick * 0.010
@@ -140,6 +185,7 @@ class StreamingServer:
                 # (ModelHost re-syncs every session's ParameterState).
                 # A second failure inside recover() is fatal by design --
                 # the device is gone, not glitched.
+                self._inflight = None  # in-flight output died with the device
                 self.engine.recover()
                 for cb in self._recover_callbacks:
                     cb()
@@ -179,6 +225,10 @@ class StreamingServer:
             # ("exception not rethrown"); eager CPU ticks can take seconds
             self._thread.join(timeout=60.0)
             self._thread = None
+        try:
+            self.flush_pipeline()
+        except Exception:  # noqa: BLE001 -- device may be gone at teardown
+            self._inflight = None
 
     def metrics(self) -> dict:
         snap = self.engine.metrics_snapshot()

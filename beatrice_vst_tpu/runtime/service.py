@@ -67,11 +67,20 @@ class ClientSession:
 
 class ModelHost:
     def __init__(self, capacity: int, compute_dtype: str | None = None,
-                 realtime: bool = True, jit: bool = True):
+                 realtime: bool = True, jit: bool = True,
+                 frames_per_tick: int = 1, pipeline: bool = False):
         self.capacity = capacity
         self.compute_dtype = compute_dtype
         self.realtime = realtime
         self.jit = jit
+        # frames_per_tick > 1 trades latency for per-tick host-I/O
+        # amortization: each scheduler tick moves frames_per_tick * 10 ms
+        # of audio, so a host whose D2H round trip exceeds 10 ms (the dev
+        # relay: ~10-150 ms) can still sustain real-time THROUGHPUT.
+        # pipeline=True additionally overlaps the D2H of tick t-1 with
+        # the device compute of tick t (one extra tick of latency).
+        self.frames_per_tick = frames_per_tick
+        self.pipeline = pipeline
         self.engine: StreamEngine | None = None
         self.server: StreamingServer | None = None
         self.model_config = None
@@ -127,9 +136,11 @@ class ModelHost:
         cfg = EngineConfig(
             capacity=self.capacity, model=model_cfg,
             compute_dtype=self.compute_dtype,
+            frames_per_tick=self.frames_per_tick,
         )
         new_engine = StreamEngine(cfg, params, bank, jit=self.jit)
-        new_server = StreamingServer(new_engine, realtime=self.realtime)
+        new_server = StreamingServer(new_engine, realtime=self.realtime,
+                                     pipeline=self.pipeline)
         new_server.on_recover(self._replay_all_sessions)
 
         # stop the old scheduler BEFORE taking the lock: its thread may be

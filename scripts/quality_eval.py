@@ -1,0 +1,146 @@
+"""Objective conversion-quality evaluation on held-out utterances.
+
+For every held-out utterance (never seen in training) and a grid of
+(source speaker -> target voice) combinations, converts the source
+rendition through the trained model and scores it against the target
+speaker's own rendition of the same utterance (frame-aligned parallel
+corpus, so no DTW): MCD, F0 RMSE, voicing agreement, LSD
+(training/quality.py).
+
+Baselines reported alongside:
+  - "do_nothing": source rendition scored directly against the target
+    rendition (what a conversion must beat to be doing anything);
+  - "rerender_floor": a different-noise-seed rendition of the TARGET
+    speaker scored against the reference rendition (the metric floor --
+    even ground truth re-recorded scores this).
+
+Writes docs/QUALITY_REPORT.json and a handful of demo wavs
+(input / converted / target-reference) to docs/audio_demo/.
+
+Usage: python scripts/quality_eval.py [--model models_demo/klatt8]
+       [--corpus /tmp/beatrice_corpus] [--pairs-per-utt 6]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=os.path.join(REPO, "models_demo", "klatt8"))
+    ap.add_argument("--corpus", default="/tmp/beatrice_corpus")
+    ap.add_argument("--pairs-per-utt", type=int, default=6)
+    ap.add_argument("--demo-wavs", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    from beatrice_vst_tpu.audio_io import read_wav, write_wav
+    from beatrice_vst_tpu.models.io import load_model_dir
+    from beatrice_vst_tpu.runtime.offline import (ConversionSettings,
+                                                  convert_utterance)
+    from beatrice_vst_tpu.training.quality import compare
+    from beatrice_vst_tpu.training.synthesis import (default_speakers, render,
+                                                     sample_utterance)
+
+    with open(os.path.join(args.corpus, "manifest.json")) as f:
+        manifest = json.load(f)
+    eval_utts = manifest["eval_utterances"]
+    spk_names = manifest["speakers"]
+    n_spk = len(spk_names)
+    seed = manifest["seed"]
+
+    _, model_cfg, params, bank = load_model_dir(args.model)
+
+    def rendition(j, k):
+        p = os.path.join(args.corpus, "raw", spk_names[k], f"utt{j:03d}.wav")
+        a, sr = read_wav(p)
+        return a, sr
+
+    # rerender floor: target-speaker re-render with a different noise seed
+    # (reconstruct the utterance plans with the corpus generator's seed)
+    rng_plan = np.random.default_rng(seed)
+    plans = [sample_utterance(rng_plan) for _ in range(manifest["n_utterances"])]
+    speakers = default_speakers(n_spk)
+
+    rng = np.random.default_rng(123)
+    rows = []
+    demo_dir = os.path.join(REPO, "docs", "audio_demo")
+    os.makedirs(demo_dir, exist_ok=True)
+    n_demo = 0
+    t0 = time.time()
+    for j in eval_utts:
+        combos = set()
+        while len(combos) < args.pairs_per_utt:
+            s = int(rng.integers(n_spk))
+            t = int(rng.integers(n_spk))
+            if s != t:
+                combos.add((s, t))
+        for s, t in sorted(combos):
+            src, sr = rendition(j, s)
+            ref, _ = rendition(j, t)
+            conv = convert_utterance(
+                params, model_cfg, bank, src, sr,
+                ConversionSettings(target_speaker=t), out_sample_rate=sr,
+            )
+            segs, f0 = plans[j]
+            floor = render(segs, f0, speakers[t],
+                           np.random.default_rng(987650 + j * 131 + t), sr)
+            row = {
+                "utt": j, "src": s, "tgt": t,
+                "converted": compare(conv, ref, sr),
+                "do_nothing": compare(src, ref, sr),
+                "rerender_floor": compare(floor, ref, sr),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            if n_demo < args.demo_wavs:
+                stem = f"u{j:03d}_s{s}_to_t{t}"
+                write_wav(os.path.join(demo_dir, stem + "_input.wav"), src, sr)
+                write_wav(os.path.join(demo_dir, stem + "_converted.wav"),
+                          conv, sr)
+                write_wav(os.path.join(demo_dir, stem + "_target_ref.wav"),
+                          ref, sr)
+                n_demo += 1
+
+    def agg(key, metric):
+        vals = [r[key][metric] for r in rows
+                if r[key][metric] is not None and np.isfinite(r[key][metric])]
+        return round(float(np.mean(vals)), 3) if vals else None
+
+    summary = {
+        k: {m: agg(k, m) for m in
+            ("mcd_db", "f0_rmse_cents", "voicing_agreement", "lsd_db")}
+        for k in ("converted", "do_nothing", "rerender_floor")
+    }
+    report = {
+        "device": str(jax.devices()[0]),
+        "model": os.path.relpath(args.model, REPO),
+        "n_eval_pairs": len(rows),
+        "eval_utterances": eval_utts,
+        "summary": summary,
+        "pairs": rows,
+        "wall_s": round(time.time() - t0, 1),
+        "note": ("corpus is synthetic (Klatt-style formant synthesis, "
+                 "training/synthesis.py) -- no natural speech exists in "
+                 "this offline environment; parallel renditions make the "
+                 "metrics frame-aligned (no DTW)"),
+    }
+    out = os.path.join(REPO, "docs", "QUALITY_REPORT.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"summary": summary}))
+    print(f"wrote {out} + {n_demo * 3} demo wavs in docs/audio_demo/")
+
+
+if __name__ == "__main__":
+    main()

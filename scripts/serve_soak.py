@@ -93,10 +93,23 @@ def main():
     # CPU backend: small capacity so the 2-core dev box's compiled tick
     # stays inside the 10 ms budget (the TPU engine holds 16k streams;
     # the CPU run is about proving real-time CADENCE through the full
-    # socket stack with local D2H)
+    # socket stack with local D2H).
+    #
+    # TPU through the dev relay: each host<->device round trip costs
+    # ~10-150 ms, so a 10 ms tick cadence is physically unreachable from
+    # this box (PCIe-attached production hosts: ~0.1 ms).  Real-time
+    # THROUGHPUT is still provable: frames_per_tick batches fpt*10 ms of
+    # audio per scheduler tick, pipeline=True overlaps the D2H of tick
+    # t-1 with the compute of tick t, and the scatter reads only the
+    # live rows.  SOAK_FPT sets the batching factor (default 25 on TPU =
+    # 250 ms per tick; cadence needed for real time drops to 4 Hz).
+    # CPU default 4: the 2-core box pays ~20 ms of host dispatch per tick
+    # regardless of frame count, so 40 ms ticks amortize it under budget
+    fpt = int(os.environ.get("SOAK_FPT", "25" if on_tpu else "4"))
     host = ModelHost(capacity=256 if on_tpu else 16,
                      compute_dtype="bfloat16" if on_tpu else None,
-                     realtime=True)
+                     realtime=True,
+                     frames_per_tick=fpt, pipeline=on_tpu)
     assert host.load_model(model_dir) == ErrorCode.SUCCESS
     srv = VCServer(("127.0.0.1", PORT), host)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -107,7 +120,7 @@ def main():
     t0 = time.monotonic()
     while time.monotonic() - t0 < 600:
         m = host.metrics()
-        if m.get("ticks", 0) > 20 and m.get("tick_p50_ms", 1e9) < 9.0:
+        if m.get("ticks", 0) > 20 and m.get("tick_p50_ms", 1e9) < 9.0 * fpt:
             break
         time.sleep(1.0)
     wc = VCClient(addr=("127.0.0.1", PORT), sample_rate=48000.0, timeout=600.0)
@@ -153,16 +166,23 @@ def main():
     # finite, non-silent audio with the engine's own tick under budget --
     # and report cadence; raise SOAK_MIN_CADENCE on real hardware.
     min_cadence = float(os.environ.get("SOAK_MIN_CADENCE", "0"))
+    # real-time delivery gate: every client must receive (almost) all the
+    # audio it sent -- slack covers the engine warm-up ramp, the pipeline
+    # tick of latency, and edge-resampler history
+    slack_s = 1.0 + 2 * fpt * 0.010
     ok = (
         all(r and r["finite"] and r["peak"] > 0
-            and r["received_s"] > 1.0 for r in results)
-        and metrics.get("tick_p50_ms", 1e9) < 10.0
+            and r["received_s"] > 1.0
+            and r["sent_s"] - r["received_s"] <= slack_s for r in results)
+        and metrics.get("tick_p50_ms", 1e9) < 10.0 * fpt
         and tick_cadence >= min_cadence
     )
     report = {
         "device": str(jax.devices()[0]),
         "n_clients": n_clients,
         "duration_s": duration,
+        "frames_per_tick": fpt,
+        "pipeline": on_tpu,
         "wall_s": round(wall, 1),
         "tick_cadence_hz": round(tick_cadence, 1),
         "note": ("dev-relay D2H (~150 ms per host read of the tick output) "

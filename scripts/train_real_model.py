@@ -1,0 +1,122 @@
+"""Train the demo voice-conversion model on the synthetic parallel corpus.
+
+End-to-end "the framework can actually convert voices" run (VERDICT item
+1): initialize an 8-voice 20rc0 model, train it on the cross-speaker
+pairs rendered by scripts/make_corpus.py (distillation objective:
+multi-resolution STFT + L1, training/distill.py; optional GAN polish),
+save the trained weights into a committed model directory, and write the
+loss history to docs/TRAIN_REAL_REPORT.json.
+
+Usage:
+    python scripts/make_corpus.py /tmp/beatrice_corpus
+    python scripts/train_real_model.py [--corpus /tmp/beatrice_corpus]
+        [--out models_demo/klatt8] [--steps 6000] [--gan-steps 800]
+        [--batch 16] [--frames 64]
+    python scripts/quality_eval.py --model models_demo/klatt8
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="/tmp/beatrice_corpus")
+    ap.add_argument("--out", default=os.path.join(REPO, "models_demo", "klatt8"))
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--gan-steps", type=int, default=800)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt-dir", default="/tmp/beatrice_train_ckpt")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from beatrice_vst_tpu.models.io import (init_random_model_dir,
+                                            load_model_dir, save_weights)
+    from beatrice_vst_tpu.training import (PairDataset, make_pair_batcher,
+                                           train, train_gan)
+
+    with open(os.path.join(args.corpus, "manifest.json")) as f:
+        manifest = json.load(f)
+    n_voices = manifest["n_speakers"]
+
+    if args.resume and os.path.isdir(args.out):
+        _, model_cfg, params, bank = load_model_dir(args.out)
+    else:
+        _, model_cfg, params, bank = init_random_model_dir(
+            args.out, version="2.0.0-rc.0", n_voices=n_voices,
+            seed=args.seed, name="klatt8-demo",
+        )
+
+    ds = PairDataset(os.path.join(args.corpus, "pairs"))
+    print(f"dataset: {len(ds.items)} pairs, {ds.n_frames_total()} frames "
+          f"({ds.n_frames_total() * 0.01 / 3600:.2f} h)", flush=True)
+    batches = make_pair_batcher(
+        ds, model_cfg, bank, batch=args.batch, frames=args.frames,
+        seed=args.seed,
+    )
+
+    t0 = time.time()
+    log = []
+
+    def log_fn(msg):
+        print(msg, flush=True)
+        log.append(msg)
+
+    params, history = train(
+        params, model_cfg, batches, steps=args.steps, lr=args.lr,
+        log_every=50, log_fn=log_fn, ckpt_dir=args.ckpt_dir,
+        save_every=1000, resume=args.resume,
+    )
+    distill_wall = time.time() - t0
+
+    gan_history = []
+    if args.gan_steps:
+        t1 = time.time()
+        params, gan_history = train_gan(
+            params, model_cfg, batches, steps=args.gan_steps,
+            lr=args.lr * 0.5, seed=args.seed, log_every=50, log_fn=log_fn,
+            ckpt_dir=args.ckpt_dir + "_gan", save_every=400,
+            resume=args.resume,
+        )
+        gan_wall = time.time() - t1
+    else:
+        gan_wall = 0.0
+
+    save_weights(os.path.join(args.out, "weights.npz"), params)
+    report = {
+        "device": str(jax.devices()[0]),
+        "corpus": manifest,
+        "batch": args.batch,
+        "frames_per_example": args.frames,
+        "distill": {
+            "steps": args.steps,
+            "loss_curve": history,
+            "wall_s": round(distill_wall, 1),
+        },
+        "gan": {
+            "steps": args.gan_steps,
+            "g_loss_curve": gan_history,
+            "wall_s": round(gan_wall, 1),
+        },
+        "model_dir": os.path.relpath(args.out, REPO),
+    }
+    out_path = os.path.join(REPO, "docs", "TRAIN_REAL_REPORT.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"saved {args.out} + {out_path}")
+
+
+if __name__ == "__main__":
+    main()
