@@ -80,12 +80,16 @@ def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32,
 
 def apply(params, cfg: PitchEstimatorConfig, audio, state,
           min_quantized_pitch=None, max_quantized_pitch=None,
-          compute_dtype=None, t_index=None):
+          compute_dtype=None, t_index=None, with_logits: bool = False):
     """audio: [B, T*160] -> (quantized_pitch [B,T] int32, features [B,T,4]).
 
     min/max_quantized_pitch: [B] int per-stream bin clamps (default full
     range), matching SetMin/MaxQuantizedPitch semantics: the argmax is
     restricted to [min, max] inclusive.
+
+    with_logits=True appends the pre-argmax bin logits [B, T, bins] to the
+    return tuple -- the supervision point for pitch distillation (the
+    argmax itself is non-differentiable and saturates as a target).
     """
     fe = cfg.frontend
     if t_index is not None and state["audio"].shape[-1] == fe.ring_len:
@@ -117,4 +121,6 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
     masked = jnp.where(allowed, logits, -jnp.inf)
     qp = jnp.argmax(masked, axis=-1).astype(jnp.int32)
     new_state = {"audio": new_audio_hist, "blocks": new_block_states}
+    if with_logits:
+        return qp, features, new_state, logits
     return qp, features, new_state

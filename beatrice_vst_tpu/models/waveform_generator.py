@@ -37,6 +37,13 @@ import jax.numpy as jnp
 from ..constants import OUT_HOP_LENGTH, OUT_SAMPLE_RATE, VersionSpec, quantized_pitch_to_hz
 from . import layers
 
+import os as _os
+
+# Source-injection formulation A/B knob (see the stage loop in apply):
+#   "dot" (default)  f32-accumulating einsum, convert in the dot epilogue
+#   "fma"            unrolled rank-1 FMA chain that fuses into the y add
+_SRC_MODE = _os.environ.get("BEATRICE_SRC_MODE", "dot")
+
 
 @dataclasses.dataclass(frozen=True)
 class WaveformGeneratorConfig:
@@ -464,9 +471,26 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
             w_f, b_f = _fold_src_weights(up["src"], cfg)
             if compute_dtype is not None:
                 w_f = w_f.astype(compute_dtype)
-            src = jnp.einsum("jbs,jc->bsc", feats, w_f,
-                             preferred_element_type=jnp.float32)
-            y = y + (src + b_f.astype(src.dtype)).astype(y.dtype)
+            if _SRC_MODE == "fma" and compute_dtype is not None:
+                # elementwise sum of H+1 rank-1 outer products: fuses into
+                # the y add (one pass over [B,S,C]) instead of a dot that
+                # materializes its own output buffer.  A/B knob.
+                src = jnp.broadcast_to(b_f.astype(jnp.float32),
+                                       y.shape).astype(jnp.float32)
+                for j in range(feats.shape[0]):
+                    src = src + (feats[j][..., None].astype(jnp.float32)
+                                 * w_f[j].astype(jnp.float32))
+                y = y + src.astype(y.dtype)
+            else:
+                # f32-accumulating dot whose convert lands in the dot
+                # EPILOGUE (same finding as the residual-stream dots,
+                # commit 1a04f80): the previous form added b_f in f32
+                # first, which kept a full-rate f32 [B, S, C] intermediate
+                # alive before the convert; b_f now adds in the compute
+                # dtype and fuses into the consumer add.
+                src = jnp.einsum("jbs,jc->bsc", feats, w_f,
+                                 preferred_element_type=jnp.float32)
+                y = y + src.astype(y.dtype) + b_f.astype(y.dtype)
             if compute_dtype is not None:
                 # keep inter-stage activations in the compute dtype: the
                 # f32 conv outputs (preferred accumulate) convert in the
