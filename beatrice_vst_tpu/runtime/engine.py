@@ -542,9 +542,18 @@ def _ring_layout_formats(cfg: EngineConfig):
     shapes = jax.eval_shape(lambda: init_engine_state(cfg))
     axes = _stream_axes(cfg)
 
+    # b-major [B, R, C] carries (the fine-rate upsampler tap windows and
+    # the final-conv state) want the same B-on-lanes layout: profiled at
+    # 17408, XLA gave up[2]/up[3] B-minor entry layouts on its own but
+    # left up[1] at {2,1,0}, paying a 0.094 ms relayout copy each tick.
+    # BEATRICE_BMAJOR_PIN=0 reverts to XLA's choice for A/B.
+    pin_bmajor = os.environ.get("BEATRICE_BMAJOR_PIN", "1") == "1"
+
     def fmt(leaf, axis):
         if leaf.ndim == 3 and axis == 1:  # ring-major [R, B, C]
             return Format(Layout(major_to_minor=(0, 2, 1)), shard)
+        if pin_bmajor and leaf.ndim == 3 and axis == 0:  # b-major [B, R, C]
+            return Format(Layout(major_to_minor=(1, 2, 0)), shard)
         return Format()
 
     out = jax.tree_util.tree_map(lambda _: Format(), shapes)
