@@ -147,10 +147,16 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
                 codebook_scale=cond.get("codebook_scale"),
             )
 
-    qp_raw, pitch_feats, pitch_state = pitch_estimator.apply(
+    pe_out = pitch_estimator.apply(
         params["pitch"], cfg.pitch, audio16, state["pitch"],
         cond["min_q"], cond["max_q"], compute_dtype, t_index=t_index,
+        with_logits=with_taps,
     )
+    if with_taps:
+        qp_raw, pitch_feats, pitch_state, pitch_logits = pe_out
+    else:
+        qp_raw, pitch_feats, pitch_state = pe_out
+        pitch_logits = None
 
     # Pitch shift / intonation / correction (processor_core_0.cc:58-120),
     # broadcast over the frame axis.
@@ -175,7 +181,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
     if with_taps:
         taps = {"phone": phone, "qp_raw": qp_raw, "qp": qp,
-                "pitch_feats": pitch_feats}
+                "pitch_feats": pitch_feats, "pitch_logits": pitch_logits}
         return audio24, new_state, taps
     return audio24, new_state
 

@@ -48,7 +48,13 @@ def _to_rate(audio: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
 
 class PairDataset:
     """Loads and caches every utterance in memory (VC corpora are small:
-    minutes-to-hours of 16 kHz mono; a full hour is ~230 MB as float32)."""
+    minutes-to-hours of 16 kHz mono; a full hour is ~230 MB as float32).
+
+    Each item also carries a 10 ms-grid F0 track of the input audio
+    (autocorrelation tracker, training/quality.py; 0 where unvoiced) --
+    the pitch-supervision signal (distill.py:distillation_loss f0_bin)
+    that anchors the pitch estimator's bin scale to physical frequency.
+    """
 
     def __init__(self, data_dir: str):
         in_dir = os.path.join(data_dir, "inputs")
@@ -61,7 +67,7 @@ class PairDataset:
         if os.path.exists(spk_path):
             with open(spk_path) as f:
                 spk_map = json.load(f)
-        self.items = []  # (audio16, target24, speaker_id)
+        self.items = []  # (audio16, target24, speaker_id, f0_hz [frames])
         for fn in sorted(os.listdir(in_dir)):
             if not fn.lower().endswith(".wav"):
                 continue
@@ -80,18 +86,26 @@ class PairDataset:
             n_frames = min(len(a16) // 160, len(t24) // 240)
             if n_frames < 2:
                 continue
+            a16 = a16[: n_frames * 160]
+            from .quality import f0_track
+
+            f0, voiced = f0_track(a16, IN_SAMPLE_RATE)
+            f0 = np.where(voiced, f0, 0.0).astype(np.float32)
+            if len(f0) < n_frames:  # tracker window vs frame grid edge
+                f0 = np.pad(f0, (0, n_frames - len(f0)), mode="edge")
             self.items.append(
                 (
-                    a16[: n_frames * 160],
+                    a16,
                     t24[: n_frames * 240],
                     int(spk_map.get(name, 0)),
+                    f0[:n_frames],
                 )
             )
         if not self.items:
             raise ValueError(f"no usable wav pairs under {data_dir}")
 
     def n_frames_total(self) -> int:
-        return sum(len(a) // 160 for a, _, _ in self.items)
+        return sum(len(a) // 160 for a, *_ in self.items)
 
 
 def make_pair_batcher(dataset: PairDataset, cfg, bank, *, batch: int,
@@ -105,39 +119,53 @@ def make_pair_batcher(dataset: PairDataset, cfg, bank, *, batch: int,
 
     from ..runtime.offline import ConversionSettings, build_cond
 
+    import jax
+
     rng = np.random.default_rng(seed)
     n16 = frames * 160
-    usable = [i for i, (a, _, _) in enumerate(dataset.items)
+    usable = [i for i, (a, *_) in enumerate(dataset.items)
               if len(a) >= n16]
     if not usable:
         raise ValueError(f"no utterance has >= {frames} frames")
 
+    # Per-speaker cond rows are STATIC: build each one once, keep them as
+    # host numpy, and assemble per-batch conds with one gather + one
+    # device transfer per leaf.  The previous per-example build_cond
+    # (batch calls x dozens of eager jnp ops each) was both the training
+    # bottleneck through the dev relay (every op a sync round trip) and a
+    # steady host-memory leak (~1 batch of relay-backed buffers per step).
+    n_speakers = bank["additive"].shape[0]
+    per_spk = [build_cond(cfg, bank, ConversionSettings(target_speaker=s),
+                          batch=1) for s in range(n_speakers)]
+    cond_table = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+        *per_spk,
+    )  # each leaf: [n_speakers, ...]
+
     def make_batch():
         a_out = np.zeros((batch, frames * 160), np.float32)
         t_out = np.zeros((batch, frames * 240), np.float32)
+        f0_out = np.zeros((batch, frames), np.float32)
         spk = np.zeros((batch,), np.int32)
         for b in range(batch):
-            a, t, sid = dataset.items[usable[rng.integers(len(usable))]]
+            a, t, sid, f0_hz = dataset.items[usable[rng.integers(len(usable))]]
             f_max = len(a) // 160 - frames
             f0 = int(rng.integers(f_max + 1))
             a_out[b] = a[f0 * 160: (f0 + frames) * 160]
             t_out[b] = t[f0 * 240: (f0 + frames) * 240]
+            f0_out[b] = f0_hz[f0: f0 + frames]
             spk[b] = sid
-        conds = []
-        for b in range(batch):
-            conds.append(build_cond(
-                cfg, bank, ConversionSettings(target_speaker=int(spk[b])),
-                batch=1,
-            ))
-        import jax
-
         cond = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *conds
+            lambda x: jnp.asarray(x[spk]), cond_table
         )
+        from .distill import f0_to_bin
+
         return {
             "audio16": jnp.asarray(a_out),
             "target24": jnp.asarray(t_out),
             "cond": cond,
+            "f0_bin": jnp.asarray(
+                f0_to_bin(f0_out, cfg.pitch.pitch_bins)),
         }
 
     if prefetch <= 0:

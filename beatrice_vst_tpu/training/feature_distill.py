@@ -34,14 +34,9 @@ from .distill import multi_resolution_stft_loss
 def teacher_taps(params, cfg, audio16, cond):
     """Frozen-teacher forward returning every supervision point."""
     state = chain.init_state(cfg, (audio16.shape[0],))
-    qp, feats, _, logits = pitch_estimator.apply(
-        params["pitch"], cfg.pitch, audio16, state["pitch"],
-        cond["min_q"], cond["max_q"], with_logits=True,
-    )
     audio24, _, taps = chain.apply(params, cfg, audio16, state, cond,
                                    with_taps=True)
     taps = dict(taps)
-    taps["pitch_logits"] = logits
     taps["audio24"] = audio24
     return taps
 

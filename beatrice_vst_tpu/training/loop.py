@@ -79,6 +79,10 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
         params, opt_state, metrics = train_step(
             params, opt_state, batch, cfg=cfg, optimizer=optimizer
         )
+        if step % 200 == 0:
+            import gc
+
+            gc.collect()  # promptly drop relay-backed device buffers
         if step % log_every == 0 or step == steps - 1:
             loss = float(metrics["loss"])
             history.append((step, loss))

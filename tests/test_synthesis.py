@@ -73,6 +73,6 @@ def test_pairs_layout_feeds_pair_dataset(tmp_path):
     ds = PairDataset(str(d))
     assert not ds.identity_mode
     assert len(ds.items) == 2
-    a16, t24, sid = ds.items[0]
+    a16, t24, sid, f0_hz = ds.items[0]
     assert sid == 1
     assert len(a16) // 160 == len(t24) // 240  # aligned frame grid

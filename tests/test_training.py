@@ -122,7 +122,8 @@ def test_pair_dataset_with_targets_and_speakers(tmp_path):
     (root / "speakers.json").write_text(json.dumps({"a": 1}))
     ds = PairDataset(str(root))
     assert not ds.identity_mode
-    a16, t24, sid = ds.items[0]
+    a16, t24, sid, f0_hz = ds.items[0]
+    assert len(f0_hz) == len(a16) // 160
     assert len(a16) // 160 == len(t24) // 240
     assert sid == 1
 
