@@ -29,8 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="/tmp/beatrice_corpus")
-    ap.add_argument("--steps-per-module", type=int, default=2500)
-    ap.add_argument("--e2e-steps", type=int, default=1500)
+    ap.add_argument("--steps-per-module", type=int, default=1000)
+    ap.add_argument("--e2e-steps", type=int, default=500)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)

@@ -81,6 +81,11 @@ def main():
 
     import jax
 
+    if os.environ.get("SOAK_BACKEND") == "cpu":
+        # JAX_PLATFORMS in the env does not stick on this image (the
+        # sitecustomize preloads the axon plugin); force it in-process
+        jax.config.update("jax_platforms", "cpu")
+
     from beatrice_vst_tpu.errors import ErrorCode
     from beatrice_vst_tpu.models.io import init_random_model_dir
     from beatrice_vst_tpu.runtime.netserver import VCClient, VCServer
