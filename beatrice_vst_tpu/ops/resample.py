@@ -156,6 +156,29 @@ class Resampler:
         # (UnexpectedTracerError; same pitfall note as design_polyphase)
         return S
 
+    # dense blocks above this get chunked into shift-invariant sub-block
+    # matmuls (see apply_block), keeping the embedded constant at a few MB
+    # instead of O(block^2)
+    _DENSE_CHUNK_MAX = 1920
+
+    def _dense_sub_block(self):
+        """Largest sub-block <= _DENSE_CHUNK_MAX that divides in_block and
+        is a multiple of M; 0 when no chunking is needed/possible."""
+        if self.in_block <= self._DENSE_CHUNK_MAX:
+            return 0
+        for k in range(-(-self.in_block // self._DENSE_CHUNK_MAX),
+                       self.in_block + 1):
+            if self.in_block % k == 0 and (self.in_block // k) % self.M == 0:
+                return self.in_block // k
+        return 0
+
+    def _dense_for(self, sub: int):
+        """Host-numpy dense matrix of the sub-block resampler (cached)."""
+        cache = self.__dict__.setdefault("_dense_sub_cache", {})
+        if sub not in cache:
+            cache[sub] = dataclasses.replace(self, in_block=sub)._dense
+        return cache[sub]
+
     @property
     def delay_in_samples(self) -> int:
         """Causal latency in *input-rate* samples (sinc group delay)."""
@@ -187,10 +210,29 @@ class Resampler:
         W, K, hist, _ = self._table
         full = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
         if os.environ.get("BEATRICE_RESAMPLE_MODE", "dense") == "dense":
-            y = jnp.dot(
-                full, jnp.asarray(self._dense).astype(x.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+            sub = self._dense_sub_block()
+            if sub:
+                # Large blocks: the [hist+in_block, out_block] matrix is
+                # O(block^2) -- at frames_per_tick=25 the 48k->16k edge
+                # would embed a ~190 MB constant in the compile request
+                # (the known relay/compile cliff; the whole serving engine
+                # failed to build).  The band is SHIFT-INVARIANT across
+                # frames, so apply the small per-sub-block matrix to
+                # overlapping windows instead: identical taps, identical
+                # per-output accumulation order, bitwise-equal outputs.
+                s_sub = jnp.asarray(self._dense_for(sub)).astype(x.dtype)
+                outs = []
+                for c in range(self.in_block // sub):
+                    win = full[..., c * sub: c * sub + hist + sub]
+                    outs.append(jnp.dot(
+                        win, s_sub, preferred_element_type=jnp.float32
+                    ).astype(x.dtype))
+                y = jnp.concatenate(outs, axis=-1)
+            else:
+                y = jnp.dot(
+                    full, jnp.asarray(self._dense).astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
             return y, full[..., full.shape[-1] - hist:]
         n_j = self.out_block // self.L  # outputs per residue class
         M = self.M

@@ -178,13 +178,26 @@ class StreamingServer:
         while self._running:
             try:
                 self.tick_once()
-            except Exception:  # noqa: BLE001 -- device/runtime failure
+            except Exception as e:  # noqa: BLE001 -- device/runtime failure
                 # elastic recovery (SURVEY.md section 5.3): sessions hear
                 # one tick of silence, the engine rebuilds its device
                 # state, and registered control planes replay parameters
                 # (ModelHost re-syncs every session's ParameterState).
                 # A second failure inside recover() is fatal by design --
-                # the device is gone, not glitched.
+                # the device is gone, not glitched.  The failure is NOT
+                # swallowed silently: the first occurrence of each error
+                # type prints a traceback and the message is exported in
+                # metrics (a compile-level failure otherwise looks like a
+                # mute recovery storm -- seen once with an oversized
+                # resampler constant at frames_per_tick=25).
+                import sys
+                import traceback
+
+                msg = f"{type(e).__name__}: {e}"
+                if msg[:200] != getattr(self, "_last_error", "")[:200]:
+                    traceback.print_exc(file=sys.stderr)
+                self._last_error = msg
+                self.engine.metrics.last_error = msg[:500]
                 self._inflight = None  # in-flight output died with the device
                 self.engine.recover()
                 for cb in self._recover_callbacks:

@@ -99,3 +99,37 @@ def test_roundtrip_16k_contract():
     assert y.shape == (3, 160)
     z, _ = rs_out.apply_block(jnp.zeros((3, 240)), rs_out.init_state((3,)))
     assert z.shape == (3, 480)
+
+
+def test_dense_chunking_matches_monolithic_matrix():
+    """Large blocks chunk the dense matmul into shift-invariant sub-block
+    windows (compile-request size cliff at frames_per_tick>1); outputs
+    and history must match the monolithic banded matrix."""
+    import jax.numpy as jnp
+
+    from beatrice_vst_tpu.ops.resample import (Resampler,
+                                               input_resampler_48k_to_16k,
+                                               output_resampler_24k_to_48k)
+
+    rng = np.random.default_rng(0)
+    for mk in (input_resampler_48k_to_16k, output_resampler_24k_to_48k):
+        rs = mk(25)
+        sub = rs._dense_sub_block()
+        assert sub > 0 and rs.in_block % sub == 0 and sub % rs.M == 0
+        x = jnp.asarray(rng.standard_normal((2, rs.in_block)) * 0.1,
+                        jnp.float32)
+        h = jnp.asarray(rng.standard_normal((2, rs.history_len)) * 0.1,
+                        jnp.float32)
+        y_chunked, h_chunked = rs.apply_block(x, h)
+        old = Resampler._DENSE_CHUNK_MAX
+        Resampler._DENSE_CHUNK_MAX = 10 ** 9
+        try:
+            y_big, h_big = rs.apply_block(x, h)
+        finally:
+            Resampler._DENSE_CHUNK_MAX = old
+        np.testing.assert_allclose(np.asarray(y_chunked), np.asarray(y_big),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(h_chunked),
+                                      np.asarray(h_big))
+    # the serving tick's fpt=1 path must stay monolithic (no chunking)
+    assert input_resampler_48k_to_16k(1)._dense_sub_block() == 0
