@@ -635,11 +635,13 @@ class StreamEngine:
         self._free = list(range(cfg.capacity - 1, -1, -1))
         self._morph_dirty: set[int] = set()
         tick = functools.partial(engine_tick, cfg=cfg)
+        self._fmts = None
         if jit:
             fmts = _ring_layout_formats(cfg)
             if fmts is not None:
                 from jax.experimental.layout import Format
 
+                self._fmts = fmts
                 self._tick = jax.jit(
                     tick, donate_argnums=(2,),
                     in_shardings=(Format(), Format(), fmts, Format()),
@@ -649,6 +651,8 @@ class StreamEngine:
                 self._tick = jax.jit(tick, donate_argnums=(2,))
         else:
             self._tick = tick
+        if self._fmts is not None:
+            self.state = jax.device_put(self.state, self._fmts)
         from .metrics import EngineMetrics
 
         self.metrics = EngineMetrics()
@@ -757,6 +761,7 @@ class StreamEngine:
                     self._release_morph_slot(i)
 
     def flush_controls(self) -> None:
+        state_before = self.state
         if self.stage.pending():
             self.state = apply_control_updates(self.state, self.stage.drain())
         if self._pending_reset:
@@ -785,6 +790,15 @@ class StreamEngine:
                     jnp.asarray(rows, jnp.int32),
                 )
             self._slot_dirty.clear()
+        if self._fmts is not None and self.state is not state_before:
+            # State produced OUTSIDE the pinned tick (initial zeros, the
+            # event-driven refresh/reset/update jits above) carries
+            # whatever layouts XLA chose for those programs; the tick's
+            # in_shardings layout pin REJECTS mismatched committed
+            # arrays rather than relayouting (seen: b-major [256,3,256]
+            # at frames_per_tick=25).  One device_put re-places only the
+            # leaves whose layout differs -- event-cost, not tick-cost.
+            self.state = jax.device_put(self.state, self._fmts)
 
     # ---- the tick ----
 
