@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import heapq
 import os
 
 import numpy as np
@@ -632,7 +633,10 @@ class StreamEngine:
                 self.bank["kv_proj_v"] = proj["v"].astype(dt)
         self.state = init_engine_state(cfg)
         self.stage = ControlStage()
-        self._free = list(range(cfg.capacity - 1, -1, -1))
+        # min-heap: admit() always takes the SMALLEST free index so the
+        # server's low-row D2H slice stays small under session churn (a
+        # plain LIFO list drifts toward high indices after evictions)
+        self._free = list(range(cfg.capacity))
         self._morph_dirty: set[int] = set()
         tick = functools.partial(engine_tick, cfg=cfg)
         self._fmts = None
@@ -681,7 +685,7 @@ class StreamEngine:
         """Allocate a stream slot; returns its index (raises if full)."""
         if not self._free:
             raise RuntimeError("stream capacity exhausted")
-        idx = self._free.pop()
+        idx = heapq.heappop(self._free)
         # always reset on admission (lazily, in one batched masked update at
         # the next flush): inactive rows still run the model on whatever the
         # host left in their input rows (only the OUTPUT is masked), so even
@@ -702,7 +706,7 @@ class StreamEngine:
 
     def evict(self, idx: int) -> None:
         self.stage.stage(idx, "active", False)
-        self._free.append(idx)
+        heapq.heappush(self._free, idx)
         self._applied.pop(idx, None)
         if self._slots_mode:
             self._release_morph_slot(idx)
@@ -828,6 +832,12 @@ class StreamEngine:
         Returns the indices of the re-activated slots.
         """
         self.state = init_engine_state(self.cfg)
+        if self._fmts is not None:
+            # Re-place the fresh state with the pinned ring layouts
+            # (mirrors __init__): without this, a recovery with no pending
+            # control changes leaves default-layout arrays that the tick's
+            # pinned in_shardings reject -- an unrecoverable recovery storm.
+            self.state = jax.device_put(self.state, self._fmts)
         self.stage = ControlStage()
         self._pending_reset.clear()
         self._morph_dirty.clear()

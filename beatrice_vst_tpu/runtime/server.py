@@ -50,6 +50,8 @@ class StreamSession:
         self.ring_in = SpscRing(1 << 16)
         self.ring_out = SpscRing(1 << 16)
         self.underruns = 0
+        self.dropped_in = 0   # client-side samples dropped (ring_in full)
+        self.dropped_out = 0  # converted samples dropped (client not pulling)
         self.closed = False
 
     # -- client side --
@@ -60,8 +62,12 @@ class StreamSession:
         if self._rs_in is not None:
             x = self._rs_in.process(x)
         written = self.ring_in.write(x)
-        if written < len(x):  # client is ahead of real time; drop oldest
-            pass
+        if written < len(x):
+            # client is ahead of real time and the 64k-sample (~1.4 s)
+            # ring is full: the NEWEST excess is dropped (SPSC writer
+            # cannot evict the reader's side), and the drop is counted so
+            # it is visible in metrics rather than silent
+            self.dropped_in += len(x) - written
 
     def pull(self, n: int) -> np.ndarray:
         """Fetch up to n samples of converted client-rate audio."""
@@ -137,7 +143,9 @@ class StreamingServer:
         hi = max(s.idx for s in sessions) + 1
         out = np.asarray(out_dev[:hi])
         for s in sessions:
-            s.ring_out.write(out[s.idx])
+            written = s.ring_out.write(out[s.idx])
+            if written < out.shape[1]:  # client not pulling; newest dropped
+                s.dropped_out += out.shape[1] - written
 
     def tick_once(self) -> None:
         """One scheduler tick: gather inputs, run the engine, scatter.
@@ -245,5 +253,9 @@ class StreamingServer:
 
     def metrics(self) -> dict:
         snap = self.engine.metrics_snapshot()
-        snap["session_underruns"] = sum(s.underruns for s in self.sessions.values())
+        with self._lock:
+            sessions = list(self.sessions.values())
+        snap["session_underruns"] = sum(s.underruns for s in sessions)
+        snap["session_dropped_in"] = sum(s.dropped_in for s in sessions)
+        snap["session_dropped_out"] = sum(s.dropped_out for s in sessions)
         return snap

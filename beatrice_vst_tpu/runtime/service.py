@@ -172,6 +172,25 @@ class ModelHost:
     def metrics(self) -> dict:
         return self.server.metrics() if self.server else {}
 
+    def describe(self) -> dict:
+        """Model metadata for clients (the demo page's voice selector)."""
+        c = self.model_config
+        if c is None:
+            return {"loaded": False}
+        return {
+            "loaded": True,
+            "name": c.name,
+            "description": c.description,
+            "version": c.version,
+            "voices": [
+                {"id": i, "name": v.name or f"voice {i}",
+                 "description": v.description}
+                for i, v in enumerate(c.voices)
+            ],
+            "capacity": self.capacity,
+            "frames_per_tick": self.frames_per_tick,
+        }
+
     def stop(self):
         with self._lock:
             if self.server is not None:

@@ -142,9 +142,41 @@ def read_message(sock):
             return opcode_acc, buf
 
 
-def _handshake_server(sock) -> bool:
-    """Read the HTTP upgrade request, reply 101. Returns False on a
-    malformed request (after sending 400)."""
+_DEMO_PAGE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "docs", "demo",
+    "index.html")
+
+
+def _serve_http(sock, lines, model_host=None) -> None:
+    """Plain (non-upgrade) HTTP: serve the browser demo client.
+
+    The TPU-era answer to the reference's editor GUI
+    (/root/reference/src/vst/editor.cc:255-683): GET / returns
+    docs/demo/index.html, which streams microphone audio over this same
+    port's WebSocket endpoint and exposes voice/pitch/morph controls.
+    GET /info returns model metadata JSON (voice list for the selector).
+    """
+    path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
+    if path in ("/", "/index.html") and os.path.exists(_DEMO_PAGE):
+        with open(_DEMO_PAGE, "rb") as f:
+            body = f.read()
+        sock.sendall(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode("ascii")
+            + b"Connection: close\r\n\r\n" + body)
+    elif path == "/info" and model_host is not None:
+        body = json.dumps(model_host.describe()).encode("utf-8")
+        sock.sendall(
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode("ascii")
+            + b"Connection: close\r\n\r\n" + body)
+    else:
+        sock.sendall(b"HTTP/1.1 404 Not Found\r\nConnection: close\r\n\r\n")
+
+
+def _handshake_server(sock, model_host=None) -> bool:
+    """Read the HTTP request: WebSocket upgrades get a 101 (returns True);
+    plain GETs are served the demo client page (returns False)."""
     data = b""
     while b"\r\n\r\n" not in data:
         chunk = sock.recv(4096)
@@ -161,13 +193,11 @@ def _handshake_server(sock) -> bool:
             k, v = line.split(":", 1)
             headers[k.strip().lower()] = v.strip()
     key = headers.get("sec-websocket-key")
-    if (
-        not lines
-        or not lines[0].startswith("GET")
-        or "websocket" not in headers.get("upgrade", "").lower()
-        or key is None
-    ):
+    if not lines or not lines[0].startswith("GET"):
         sock.sendall(b"HTTP/1.1 400 Bad Request\r\nConnection: close\r\n\r\n")
+        return False
+    if "websocket" not in headers.get("upgrade", "").lower() or key is None:
+        _serve_http(sock, lines, model_host)
         return False
     sock.sendall(
         (
@@ -183,7 +213,7 @@ def _handshake_server(sock) -> bool:
 class _WSHandler(socketserver.BaseRequestHandler):
     def handle(self):
         sock = self.request
-        if not _handshake_server(sock):
+        if not _handshake_server(sock, self.server.model_host):
             return
         host = self.server.model_host
         session = None

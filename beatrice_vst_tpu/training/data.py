@@ -56,7 +56,9 @@ class PairDataset:
     that anchors the pitch estimator's bin scale to physical frequency.
     """
 
-    def __init__(self, data_dir: str):
+    def __init__(self, data_dir: str, name_filter=None):
+        """name_filter: optional callable(name)->bool selecting utterances
+        by basename (e.g. the OOD protocol excluding held-out speakers)."""
         in_dir = os.path.join(data_dir, "inputs")
         tgt_dir = os.path.join(data_dir, "targets")
         if not os.path.isdir(in_dir):
@@ -72,6 +74,8 @@ class PairDataset:
             if not fn.lower().endswith(".wav"):
                 continue
             name = os.path.splitext(fn)[0]
+            if name_filter is not None and not name_filter(name):
+                continue
             a, sr = read_wav(os.path.join(in_dir, fn))
             a16 = _to_rate(a, sr, IN_SAMPLE_RATE)
             if self.identity_mode:
@@ -89,7 +93,14 @@ class PairDataset:
             a16 = a16[: n_frames * 160]
             from .quality import f0_track
 
-            f0, voiced = f0_track(a16, IN_SAMPLE_RATE)
+            # Align the tracker grid with the model frame grid: the
+            # tracker's window i spans [i*160, i*160+640) (center
+            # i*160+320) while model frame i is centered at i*160+80.
+            # Pre-padding 240 samples shifts every window center to
+            # exactly i*160+80 so the CE/voicing targets hit the frames
+            # they supervise (they previously lagged ~1.5 frames).
+            f0, voiced = f0_track(
+                np.pad(a16, (240, 0)), IN_SAMPLE_RATE)
             f0 = np.where(voiced, f0, 0.0).astype(np.float32)
             if len(f0) < n_frames:  # tracker window vs frame grid edge
                 f0 = np.pad(f0, (0, n_frames - len(f0)), mode="edge")

@@ -59,6 +59,30 @@ def f0_to_bin(f0_hz, pitch_bins: int):
     return np.where(f0 > 0, bins, 0).astype(np.int32)
 
 
+def pitch_supervision_losses(taps, f0_bin):
+    """(CE on pitch bins, BCE on the voicing gate) from chain taps.
+
+    Shared by the distillation and GAN generator objectives so adversarial
+    polish cannot silently un-anchor the pitch estimator (the GAN step
+    previously scored only STFT+L1 -- pitch supervision vanished there).
+    """
+    logits = taps["pitch_logits"]  # [B, T, bins]
+    t = min(logits.shape[1], f0_bin.shape[1])
+    lg, fb = logits[:, :t], f0_bin[:, :t]
+    voiced = (fb > 0).astype(jnp.float32)
+    ce = -jnp.take_along_axis(jax.nn.log_softmax(lg, -1),
+                              fb[..., None], axis=-1)[..., 0]
+    l_f0 = jnp.sum(ce * voiced) / jnp.maximum(voiced.sum(), 1.0)
+    # voicing gate: pitch feature 0 drives the harmonic-source gate
+    # through a sigmoid (waveform_generator: periodicity) -- supervise
+    # it as a voiced/unvoiced logit (BCE), otherwise the gate stays
+    # half-open noise (measured 0.65 voicing agreement without this)
+    per = taps["pitch_feats"][:, :t, 0]
+    l_voice = jnp.mean(jnp.maximum(per, 0) - per * voiced
+                       + jnp.log1p(jnp.exp(-jnp.abs(per))))
+    return l_f0, l_voice
+
+
 def distillation_loss(params, cfg, audio16, target24, cond, state=None,
                       f0_bin=None, f0_weight: float = 1.0):
     """Forward the chain and score against the target 24 kHz waveform.
@@ -80,20 +104,7 @@ def distillation_loss(params, cfg, audio16, target24, cond, state=None,
     else:
         pred, _, taps = chain.apply(params, cfg, audio16, state, cond,
                                     with_taps=True)
-        logits = taps["pitch_logits"]  # [B, T, bins]
-        t = min(logits.shape[1], f0_bin.shape[1])
-        lg, fb = logits[:, :t], f0_bin[:, :t]
-        voiced = (fb > 0).astype(jnp.float32)
-        ce = -jnp.take_along_axis(jax.nn.log_softmax(lg, -1),
-                                  fb[..., None], axis=-1)[..., 0]
-        l_f0 = jnp.sum(ce * voiced) / jnp.maximum(voiced.sum(), 1.0)
-        # voicing gate: pitch feature 0 drives the harmonic-source gate
-        # through a sigmoid (waveform_generator: periodicity) -- supervise
-        # it as a voiced/unvoiced logit (BCE), otherwise the gate stays
-        # half-open noise (measured 0.65 voicing agreement without this)
-        per = taps["pitch_feats"][:, :t, 0]
-        l_voice = jnp.mean(jnp.maximum(per, 0) - per * voiced
-                           + jnp.log1p(jnp.exp(-jnp.abs(per))))
+        l_f0, l_voice = pitch_supervision_losses(taps, f0_bin)
         aux = {"f0": l_f0, "voice": l_voice}
     l_stft = multi_resolution_stft_loss(pred, target24)
     l_wav = jnp.mean(jnp.abs(pred - target24))
@@ -106,13 +117,15 @@ def make_optimizer(lr: float = 2e-4, weight_decay: float = 1e-2):
     return optax.adamw(lr, b1=0.9, b2=0.99, weight_decay=weight_decay)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
-def train_step(params, opt_state, batch, *, cfg, optimizer):
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "optimizer", "f0_weight"))
+def train_step(params, opt_state, batch, *, cfg, optimizer,
+               f0_weight: float = 1.0):
     """One distillation step.  batch: {audio16 [B, T*160], target24
     [B, T*240], cond: chain cond dict[, f0_bin [B, T] int32]}."""
     (loss, aux), grads = jax.value_and_grad(distillation_loss, has_aux=True)(
         params, cfg, batch["audio16"], batch["target24"], batch["cond"],
-        f0_bin=batch.get("f0_bin"),
+        f0_bin=batch.get("f0_bin"), f0_weight=f0_weight,
     )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

@@ -26,15 +26,17 @@ from .distill import multi_resolution_stft_loss
 LAMBDA_REC = 15.0
 LAMBDA_FM = 2.0
 LAMBDA_ADV = 1.0
+LAMBDA_F0 = 15.0  # matches LAMBDA_REC * the distill step's f0_weight=1
 
 
-def _generate(gen_params, cfg, batch, compute_dtype=None):
+def _generate(gen_params, cfg, batch, compute_dtype=None,
+              with_taps: bool = False):
     state = chain.init_state(cfg, (batch["audio16"].shape[0],))
-    pred, _ = chain.apply(
+    out = chain.apply(
         gen_params, cfg, batch["audio16"], state, batch["cond"],
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, with_taps=with_taps,
     )
-    return pred
+    return (out[0], out[2]) if with_taps else out[0]
 
 
 def disc_loss(disc_params, real, fake):
@@ -47,7 +49,19 @@ def disc_loss(disc_params, real, fake):
 
 
 def gen_loss(gen_params, disc_params, cfg, batch, compute_dtype=None):
-    pred = _generate(gen_params, cfg, batch, compute_dtype)
+    f0_bin = batch.get("f0_bin")
+    if f0_bin is not None:
+        # keep the pitch anchor during adversarial polish: without it the
+        # GAN phase silently un-trains the estimator/voicing gate (the
+        # critics score waveform realism, not prosody fidelity)
+        pred, taps = _generate(gen_params, cfg, batch, compute_dtype,
+                               with_taps=True)
+        from .distill import pitch_supervision_losses
+
+        l_f0, l_voice = pitch_supervision_losses(taps, f0_bin)
+    else:
+        pred = _generate(gen_params, cfg, batch, compute_dtype)
+        l_f0 = l_voice = 0.0
     target = batch["target24"]
     l_rec = multi_resolution_stft_loss(pred, target) + jnp.mean(
         jnp.abs(pred - target)
@@ -66,8 +80,10 @@ def gen_loss(gen_params, disc_params, cfg, batch, compute_dtype=None):
             n_maps += 1
     l_adv = l_adv / len(outs_fake)
     l_fm = l_fm / max(n_maps, 1)
-    total = LAMBDA_REC * l_rec + LAMBDA_FM * l_fm + LAMBDA_ADV * l_adv
-    return total, {"rec": l_rec, "fm": l_fm, "adv": l_adv}
+    total = (LAMBDA_REC * l_rec + LAMBDA_FM * l_fm + LAMBDA_ADV * l_adv
+             + LAMBDA_F0 * (l_f0 + l_voice))
+    return total, {"rec": l_rec, "fm": l_fm, "adv": l_adv,
+                   "f0": l_f0, "voice": l_voice}
 
 
 def make_gan_optimizers(lr: float = 2e-4, b1: float = 0.8, b2: float = 0.99):

@@ -56,7 +56,8 @@ def make_teacher_batcher(cfg, teacher_params, bank, *, batch: int, frames: int,
 
 def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
           log_every: int = 10, log_fn=print, ckpt_dir: str | None = None,
-          save_every: int = 500, resume: bool = False):
+          save_every: int = 500, resume: bool = False,
+          f0_weight: float = 1.0):
     """Run `steps` of distillation; returns (params, history).
 
     With `ckpt_dir`, the full training pytree (params + optimizer state +
@@ -77,7 +78,8 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
     step = start
     for step, batch in zip(range(start, steps), batches):
         params, opt_state, metrics = train_step(
-            params, opt_state, batch, cfg=cfg, optimizer=optimizer
+            params, opt_state, batch, cfg=cfg, optimizer=optimizer,
+            f0_weight=f0_weight,
         )
         if step % 200 == 0:
             import gc
@@ -86,9 +88,13 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
         if step % log_every == 0 or step == steps - 1:
             loss = float(metrics["loss"])
             history.append((step, loss))
+            extra = "".join(
+                f", {k} {float(metrics[k]):.4f}" for k in ("f0", "voice")
+                if k in metrics)
             log_fn(
                 f"step {step}: loss {loss:.4f} "
-                f"(stft {float(metrics['stft']):.4f}, l1 {float(metrics['l1']):.4f}) "
+                f"(stft {float(metrics['stft']):.4f}, "
+                f"l1 {float(metrics['l1']):.4f}{extra}) "
                 f"[{time.time() - t0:.1f}s]"
             )
         if ckpt_dir and step and step % save_every == 0:
@@ -132,10 +138,13 @@ def train_gan(params, cfg, batches, *, steps: int, lr: float = 2e-4,
         if step % log_every == 0 or step == steps - 1:
             g = float(metrics["g_loss"])
             history.append((step, g))
+            extra = "".join(
+                f", {k} {float(metrics[k]):.4f}" for k in ("f0", "voice")
+                if k in metrics and not isinstance(metrics[k], float))
             log_fn(
                 f"step {step}: g {g:.4f} d {float(metrics['d_loss']):.4f} "
                 f"(rec {float(metrics['rec']):.4f}, fm {float(metrics['fm']):.4f}, "
-                f"adv {float(metrics['adv']):.4f}) [{time.time() - t0:.1f}s]"
+                f"adv {float(metrics['adv']):.4f}{extra}) [{time.time() - t0:.1f}s]"
             )
         if ckpt_dir and step and step % save_every == 0:
             save_checkpoint(

@@ -93,7 +93,7 @@ def mcd_db(x: np.ndarray, y: np.ndarray, sr: int,
 
 def f0_track(x: np.ndarray, sr: int, fmin: float = 70.0, fmax: float = 420.0,
              clarity: float = 0.5):
-    """Autocorrelation F0 per 25 ms/10 ms frame -> (f0 Hz, voiced mask)."""
+    """Autocorrelation F0 per 40 ms window / 10 ms hop -> (f0 Hz, voiced mask)."""
     seg = _frames(x, sr, 0.040, 0.010)
     seg = seg - seg.mean(-1, keepdims=True)
     n = seg.shape[1]

@@ -74,7 +74,8 @@ def main():
     n_pairs = 0
     for j in range(n_train):
         combos = set()
-        while len(combos) < args.pairs_per_utt:
+        want = min(args.pairs_per_utt, len(speakers) ** 2)
+        while len(combos) < want:
             combos.add((int(rng_pairs.integers(len(speakers))),
                         int(rng_pairs.integers(len(speakers)))))
         for s, t in sorted(combos):

@@ -80,7 +80,8 @@ def main():
     t0 = time.time()
     for j in eval_utts:
         combos = set()
-        while len(combos) < args.pairs_per_utt:
+        want = min(args.pairs_per_utt, max(n_spk * n_spk - n_spk, 0))
+        while len(combos) < want:
             s = int(rng.integers(n_spk))
             t = int(rng.integers(n_spk))
             if s != t:

@@ -57,17 +57,29 @@ def run_client(i: int, duration: float) -> None:
         delay = next_t - time.monotonic()
         if delay > 0:
             time.sleep(delay)
-    for _ in range(100):  # final drain
-        out = c.pull(block, timeout=0.1)
-        if not len(out):
-            break
-        got += len(out)
-        finite = finite and bool(np.isfinite(out).all())
-        peak = max(peak, float(np.abs(out).max()))
+    # final drain: the server may still hold in-flight audio (ring_in
+    # backlog + the pipeline tick) -- keep pulling until it has gone
+    # quiet for several tick periods, not merely until one empty pull
+    drain_t0 = time.monotonic()
+    quiet_since = None
+    while time.monotonic() - drain_t0 < 60.0 and got < sent:
+        out = c.pull(block, timeout=0.25)
+        if len(out):
+            got += len(out)
+            finite = finite and bool(np.isfinite(out).all())
+            peak = max(peak, float(np.abs(out).max()))
+            quiet_since = None
+        else:
+            now = time.monotonic()
+            if quiet_since is None:
+                quiet_since = now
+            elif now - quiet_since > 5.0:
+                break
     c.close()
     print(json.dumps({
         "sent_s": round(sent / 48000.0, 2),
         "received_s": round(got / 48000.0, 2),
+        "drain_s": round(time.monotonic() - drain_t0, 2),
         "finite": finite,
         "peak": round(peak, 4),
     }))
@@ -111,7 +123,12 @@ def main():
     # CPU default 4: the 2-core box pays ~20 ms of host dispatch per tick
     # regardless of frame count, so 40 ms ticks amortize it under budget
     fpt = int(os.environ.get("SOAK_FPT", "25" if on_tpu else "4"))
-    host = ModelHost(capacity=256 if on_tpu else 16,
+    # CPU capacity 8 (was 16): the engine computes every capacity row
+    # each tick regardless of live sessions, and 16 rows of chain on the
+    # 2-core box is ~0.73x real time per row -- the committed r2 CPU soak
+    # failed on exactly that (4 clients received 18.6-19.6 s of 20).
+    # 8 rows (4 clients + headroom) fits the budget.
+    host = ModelHost(capacity=256 if on_tpu else 8,
                      compute_dtype="bfloat16" if on_tpu else None,
                      realtime=True,
                      frames_per_tick=fpt, pipeline=on_tpu)

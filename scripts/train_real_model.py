@@ -35,7 +35,17 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--f0-weight", type=float, default=2.0,
+                    help="weight on the pitch-bin CE + voicing BCE "
+                         "(the r2 model at weight 1.0 still quadrupled "
+                         "converted F0 error; see docs/PITCH_DIAGNOSIS.json)")
+    ap.add_argument("--speakers", type=int, nargs="*", default=None,
+                    help="train only on these speaker ids (OOD protocol: "
+                         "hold out the rest; pairs touching held-out "
+                         "speakers are excluded)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--report", default=os.path.join(REPO, "docs",
+                                                     "TRAIN_REAL_REPORT.json"))
     ap.add_argument("--ckpt-dir", default="/tmp/beatrice_train_ckpt")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -50,6 +60,14 @@ def main():
     with open(os.path.join(args.corpus, "manifest.json")) as f:
         manifest = json.load(f)
     n_voices = manifest["n_speakers"]
+    if args.speakers is not None:
+        # OOD protocol: the model only has voices for the TRAINED
+        # speakers; held-out targets are reachable only through the
+        # morph path.  Require a contiguous 0..k-1 subset so the corpus
+        # speaker ids index the smaller bank unchanged.
+        assert sorted(args.speakers) == list(range(len(args.speakers))), \
+            "--speakers must be a contiguous prefix 0..k-1"
+        n_voices = len(args.speakers)
 
     if args.resume and os.path.isdir(args.out):
         _, model_cfg, params, bank = load_model_dir(args.out)
@@ -59,7 +77,19 @@ def main():
             seed=args.seed, name="klatt8-demo",
         )
 
-    ds = PairDataset(os.path.join(args.corpus, "pairs"))
+    name_filter = None
+    if args.speakers is not None:
+        allowed = set(args.speakers)
+
+        def name_filter(name):  # pair names are u{j:03d}_s{s}_t{t}
+            import re
+
+            m = re.match(r"u\d+_s(\d+)_t(\d+)$", name)
+            return bool(m) and int(m.group(1)) in allowed \
+                and int(m.group(2)) in allowed
+
+    ds = PairDataset(os.path.join(args.corpus, "pairs"),
+                     name_filter=name_filter)
     print(f"dataset: {len(ds.items)} pairs, {ds.n_frames_total()} frames "
           f"({ds.n_frames_total() * 0.01 / 3600:.2f} h)", flush=True)
     batches = make_pair_batcher(
@@ -77,7 +107,7 @@ def main():
     params, history = train(
         params, model_cfg, batches, steps=args.steps, lr=args.lr,
         log_every=50, log_fn=log_fn, ckpt_dir=args.ckpt_dir,
-        save_every=1000, resume=args.resume,
+        save_every=1000, resume=args.resume, f0_weight=args.f0_weight,
     )
     distill_wall = time.time() - t0
 
@@ -100,6 +130,8 @@ def main():
         "corpus": manifest,
         "batch": args.batch,
         "frames_per_example": args.frames,
+        "f0_weight": args.f0_weight,
+        "train_speakers": args.speakers,
         "distill": {
             "steps": args.steps,
             "loss_curve": history,
@@ -112,7 +144,7 @@ def main():
         },
         "model_dir": os.path.relpath(args.out, REPO),
     }
-    out_path = os.path.join(REPO, "docs", "TRAIN_REAL_REPORT.json")
+    out_path = args.report
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"saved {args.out} + {out_path}")

@@ -50,16 +50,22 @@ def test_sharded_engine_tick_matches_single_device():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((cap, 480)) * 0.1, jnp.float32)
 
-    ref, _ = engine_tick(params, bank, state, x, cfg=cfg)
+    tick = jax.jit(functools.partial(engine_tick, cfg=cfg))
+    ref, _ = tick(params, bank, state, x)
+    ref = np.asarray(ref)
 
     mesh = make_mesh(streams=8, model=1)
     sstate = shard_tree(state, state_sharding(state, mesh))
     sx = jax.device_put(x, NamedSharding(mesh, P("streams", None)))
-    tick = jax.jit(functools.partial(engine_tick, cfg=cfg))
     with mesh:
         out, new_state = tick(params, bank, sstate, sx)
-    # sharded compilation reassociates reductions: tolerance covers fp32 noise
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=1e-4)
+    # jit-vs-jit: per-stream work is independent under a streams-only
+    # mesh, so only fusion-boundary rounding differs (measured max rel
+    # 8.5e-4, max abs 1.4e-6 on the 8-dev CPU mesh).  The old 2e-2 gate
+    # was dominated by comparing an EAGER reference against the jitted
+    # sharded run (eager-vs-jit alone: 9e-6 abs) -- loose enough to hide
+    # a real sharding bug; this is not.
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-3, atol=1e-5)
     # output is sharded over streams
     assert len(out.sharding.device_set) == 8
 

@@ -117,11 +117,29 @@ def test_ws_client_bad_param(server):
     c.close()
 
 
-def test_ws_rejects_plain_http(server):
+def test_ws_plain_http_serves_demo_page(server):
+    # a plain (non-upgrade) GET / now serves the browser demo client
+    # (docs/demo/index.html); unknown paths 404; non-GET methods 400
     import socket
 
-    s = socket.create_connection(server, timeout=5.0)
-    s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
-    resp = s.recv(4096)
-    assert b"400" in resp
-    s.close()
+    def http(req):
+        s = socket.create_connection(server, timeout=5.0)
+        s.sendall(req)
+        resp = b""
+        while True:
+            try:
+                chunk = s.recv(4096)
+            except OSError:
+                break
+            if not chunk:
+                break
+            resp += chunk
+        s.close()
+        return resp
+
+    resp = http(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+    assert resp.startswith(b"HTTP/1.1 200") and b"<html" in resp
+    assert http(b"GET /nope HTTP/1.1\r\nHost: x\r\n\r\n").startswith(
+        b"HTTP/1.1 404")
+    assert http(b"POST / HTTP/1.1\r\nHost: x\r\n\r\n").startswith(
+        b"HTTP/1.1 400")
