@@ -179,7 +179,15 @@ def transform_pitch(q, avg, inton, shift, corr, ctype, bins):
     return np.clip(np.round(tmp), 1, bins - 1).astype(np.int64)
 
 
-def waveform_forward(p, cfg, phone, qp, feats, spk, kv=None):
+def waveform_forward(p, cfg, phone, qp, feats, spk, kv=None,
+                     phase_start=None):
+    """phase_start: optional [T] source-phase trajectory (radians) to use
+    instead of the f64 cumulative sum -- a HARNESS hook, not model spec.
+    Long-horizon gates supply the phase accumulated from the chain's own
+    f32 `frame_increments` (the runtime/seqpar.py lesson: a float64
+    re-derivation differs ~1 ulp/frame systematically, which the 8th
+    harmonic amplifies past the 1e-3 gate after a few hundred frames --
+    that drift is phase-step quantization, not an implementation bug)."""
     wcfg = cfg.wg
     t = len(qp)
     qp = np.clip(qp, 0, wcfg.pitch_bins - 1)
@@ -195,8 +203,11 @@ def waveform_forward(p, cfg, phone, qp, feats, spk, kv=None):
     f0 = PITCH_BIN_ZERO_HZ * 2.0 ** (qp / PITCH_BINS_PER_OCTAVE)
     step = 2.0 * np.pi * f0 / OUT_SAMPLE_RATE
     frame_inc = step * OUT_HOP_LENGTH
-    start = np.cumsum(frame_inc) - frame_inc
-    start = np.mod(start, 2.0 * np.pi)
+    if phase_start is not None:
+        start = np.asarray(phase_start, np.float64)[:t]
+    else:
+        start = np.cumsum(frame_inc) - frame_inc
+        start = np.mod(start, 2.0 * np.pi)
     n = np.arange(1, OUT_HOP_LENGTH + 1)
     phases = start[:, None] + step[:, None] * n  # [T, 240]
     harm = np.sin(phases[..., None] * np.arange(1, wcfg.n_harmonics + 1))
@@ -402,7 +413,8 @@ def vq_knn_per_frame(phone, codebook_bank, idx, n):
     return out
 
 
-def chain_forward(params, cfg, audio16, *, target_settings=None):
+def chain_forward(params, cfg, audio16, *, target_settings=None,
+                  phase_start=None):
     """Full offline forward for ONE stream: [T*160] @16k -> [T*240] @24k.
 
     target_settings: dict with speaker_embedding [256], kv [384,128],
@@ -440,4 +452,5 @@ def chain_forward(params, cfg, audio16, *, target_settings=None):
     )
     kv = np.asarray(s["kv"], np.float64) if spec.has_kv else None
     spk = np.asarray(s.get("speaker_embedding", np.zeros(256)), np.float64)
-    return waveform_forward(p["wg"], cfg, phone, qp, feats, spk, kv)
+    return waveform_forward(p["wg"], cfg, phone, qp, feats, spk, kv,
+                            phase_start=phase_start)
