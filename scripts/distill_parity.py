@@ -29,8 +29,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="/tmp/beatrice_corpus")
-    ap.add_argument("--steps-per-module", type=int, default=1000)
-    ap.add_argument("--e2e-steps", type=int, default=500)
+    ap.add_argument("--teacher", default=None,
+                    help="model dir to use as the frozen teacher (e.g. "
+                         "models_demo/klatt8).  A TRAINED teacher has "
+                         "peaked pitch logits -- representative of "
+                         "distilling the closed reference; the default "
+                         "random teacher's near-uniform logits make the "
+                         "bin-agreement task adversarially hard "
+                         "(argmax of noise).")
+    ap.add_argument("--steps-per-module", type=int, default=5000)
+    ap.add_argument("--e2e-steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -52,10 +60,18 @@ def main():
     from beatrice_vst_tpu.training.distill import (distillation_loss,
                                                    make_optimizer)
 
-    cfg = chain.VoiceConverterConfig.for_version(V20RC0)
-    teacher = chain.init(jax.random.PRNGKey(args.seed + 1), cfg)  # held out
+    if args.teacher:
+        from beatrice_vst_tpu.models.io import load_model_dir
+
+        _, cfg, teacher, bank = load_model_dir(args.teacher)
+        n_voices = bank["additive"].shape[0]
+    else:
+        cfg = chain.VoiceConverterConfig.for_version(V20RC0)
+        teacher = chain.init(jax.random.PRNGKey(args.seed + 1), cfg)
+        bank = bank_mod.random_bank(jax.random.PRNGKey(args.seed + 3),
+                                    V20RC0, 8)
+        n_voices = 8
     student = chain.init(jax.random.PRNGKey(args.seed + 2), cfg)
-    bank = bank_mod.random_bank(jax.random.PRNGKey(args.seed + 3), V20RC0, 8)
 
     # speech batches from the synthetic corpus (any speech would do)
     raw = os.path.join(args.corpus, "raw")
@@ -67,7 +83,7 @@ def main():
     rng = np.random.default_rng(args.seed)
     n16 = args.frames * 160
     conds = [build_cond(cfg, bank, ConversionSettings(target_speaker=t),
-                        batch=args.batch) for t in range(8)]
+                        batch=args.batch) for t in range(n_voices)]
 
     def make_batch(step):
         out = np.zeros((args.batch, n16), np.float32)
@@ -75,9 +91,10 @@ def main():
             c = clips[rng.integers(len(clips))]
             o = rng.integers(len(c) - n16)
             out[b] = c[o: o + n16]
-        return {"audio16": jnp.asarray(out), "cond": conds[step % 8]}
+        return {"audio16": jnp.asarray(out), "cond": conds[step % len(conds)]}
 
-    report = {"phases": [], "device": str(jax.devices()[0])}
+    report = {"phases": [], "device": str(jax.devices()[0]),
+              "teacher": args.teacher or "random-init (held out)"}
     eval_batch = make_batch(7)
 
     def e2e(tag):
@@ -156,6 +173,16 @@ def main():
         "final": final,
         "analysis": {
             "wav_l1_vs_gate": final["wav_l1"] / gate,
+            # per-module error budget (VERDICT r2 item 3): wg_only is the
+            # student wg on the teacher's own taps (upstream error
+            # removed); teacher_bins adds back student phone/feats but
+            # keeps the teacher's pitch bins -- the difference between
+            # the three wav_l1 numbers attributes the floor
+            "error_budget": {
+                "wg_only_wav_l1": final.get("wg_only_wav_l1"),
+                "plus_student_phone_feats": final.get("teacher_bins_wav_l1"),
+                "full_student": final["wav_l1"],
+            },
             "limiting_factor": (
                 "quantized-pitch bin disagreements (each flipped frame "
                 "shifts the harmonic source for that frame)"
