@@ -63,13 +63,26 @@ def init(key, cfg: VoiceConverterConfig, dtype=jnp.float32):
     }
 
 
+def merged_mel_ring_enabled() -> bool:
+    """One shared phone+pitch audio ring (sized for the larger window)
+    instead of two per-module rings: the 160-sample chunk is written ONCE
+    per tick and both mel front ends read their own windowed-DFT bases
+    from it (ops/frontend.py mel_read_ring; exact -- rows older than each
+    window are zero).  Halves the audio-ring DUS traffic
+    (docs/ROOFLINE.md "named remaining fat" #2).  BEATRICE_MERGED_MEL_RING=0
+    restores dedicated rings for A/B."""
+    import os
+
+    return os.environ.get("BEATRICE_MERGED_MEL_RING", "1") == "1"
+
+
 def init_state(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32,
                ring=False):
     """ring=True sizes the audio-history carries for the hop-ring frontend
     convention used with apply(..., t_index=...) (the T=1 serving path);
     the default linear convention serves chunk/offline callers.  Both start
     at zero; the conventions differ in layout, not semantics."""
-    return {
+    state = {
         "phone": phone_extractor.init_state(cfg.phone, batch_shape, dtype,
                                             ring=ring),
         "pitch": pitch_estimator.init_state(cfg.pitch, batch_shape, dtype,
@@ -77,6 +90,14 @@ def init_state(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32,
         "wg": waveform_generator.init_state(cfg.wg, batch_shape, dtype,
                                             ring=ring),
     }
+    if ring and merged_mel_ring_enabled():
+        state["phone"].pop("audio")
+        state["pitch"].pop("audio")
+        slots = max(cfg.phone.frontend.ring_slots,
+                    cfg.pitch.frontend.ring_slots)
+        state["audio"] = jnp.zeros(
+            (*batch_shape, slots * cfg.phone.frontend.hop), dtype)
+    return state
 
 
 def default_cond(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
@@ -120,9 +141,19 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     """
     spec = cfg.spec
 
+    shared_ring = None
+    if "audio" in state and t_index is not None:
+        # merged audio ring: one DUS write per tick, both front ends read
+        hop = cfg.phone.frontend.hop
+        p_total = state["audio"].shape[-1] // hop
+        phase = jnp.mod(jnp.asarray(t_index, jnp.int32), p_total)
+        shared_ring = jax.lax.dynamic_update_slice_in_dim(
+            state["audio"], audio16.astype(state["audio"].dtype),
+            phase * hop, axis=-1)
+
     phone, phone_state = phone_extractor.apply(
         params["phone"], cfg.phone, audio16, state["phone"], compute_dtype,
-        t_index=t_index,
+        t_index=t_index, shared_ring=shared_ring,
     )
     if spec.has_vq:
         if "codebook_bank" in cond:
@@ -150,7 +181,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     pe_out = pitch_estimator.apply(
         params["pitch"], cfg.pitch, audio16, state["pitch"],
         cond["min_q"], cond["max_q"], compute_dtype, t_index=t_index,
-        with_logits=with_taps,
+        with_logits=with_taps, shared_ring=shared_ring,
     )
     if with_taps:
         qp_raw, pitch_feats, pitch_state, pitch_logits = pe_out
@@ -179,6 +210,8 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         t_index=t_index,
     )
     new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
+    if shared_ring is not None:
+        new_state["audio"] = shared_ring
     if with_taps:
         taps = {"phone": phone, "qp_raw": qp_raw, "qp": qp,
                 "pitch_feats": pitch_feats, "pitch_logits": pitch_logits}

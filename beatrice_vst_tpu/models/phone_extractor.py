@@ -80,7 +80,7 @@ def init_state(cfg: PhoneExtractorConfig, batch_shape=(), dtype=jnp.float32,
 
 
 def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None,
-          t_index=None):
+          t_index=None, shared_ring=None):
     """audio: [B, T*160] raw 16 kHz samples -> phone [B, T, phone_channels].
 
     Returns (phone, new_state).  T=1 gives the per-frame streaming step;
@@ -90,7 +90,13 @@ def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None,
     (layers.causal_conv) used by the serving engine.
     """
     fe = cfg.frontend
-    if t_index is not None and state["audio"].shape[-1] == fe.ring_len:
+    if shared_ring is not None and t_index is not None:
+        # merged audio ring (chain-owned, already written this frame):
+        # read-only -- halves the per-tick ring DUS traffic vs dedicated
+        # phone+pitch rings (docs/ROOFLINE.md "named remaining fat" #2)
+        mel = fe.mel_read_ring(shared_ring, t_index)
+        new_audio_hist = None
+    elif t_index is not None and state["audio"].shape[-1] == fe.ring_len:
         mel, new_audio_hist = fe.mel_from_ring(state["audio"], audio, t_index)
     else:
         windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
@@ -102,7 +108,10 @@ def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None,
         new_block_states.append(ns)
     h = layers.layer_norm(params["out_ln"], h)
     phone = layers.linear(params["out"], h, compute_dtype)
-    return phone, {"audio": new_audio_hist, "blocks": new_block_states}
+    new_state = {"blocks": new_block_states}
+    if new_audio_hist is not None:
+        new_state["audio"] = new_audio_hist
+    return phone, new_state
 
 
 def vq_knn_smooth(phone, codebook, num_neighbors, max_neighbors: int = 8,

@@ -80,7 +80,8 @@ def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32,
 
 def apply(params, cfg: PitchEstimatorConfig, audio, state,
           min_quantized_pitch=None, max_quantized_pitch=None,
-          compute_dtype=None, t_index=None, with_logits: bool = False):
+          compute_dtype=None, t_index=None, with_logits: bool = False,
+          shared_ring=None):
     """audio: [B, T*160] -> (quantized_pitch [B,T] int32, features [B,T,4]).
 
     min/max_quantized_pitch: [B] int per-stream bin clamps (default full
@@ -92,7 +93,11 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
     argmax itself is non-differentiable and saturates as a target).
     """
     fe = cfg.frontend
-    if t_index is not None and state["audio"].shape[-1] == fe.ring_len:
+    if shared_ring is not None and t_index is not None:
+        # merged audio ring (chain-owned, already written this frame)
+        mel = fe.mel_read_ring(shared_ring, t_index)
+        new_audio_hist = None
+    elif t_index is not None and state["audio"].shape[-1] == fe.ring_len:
         mel, new_audio_hist = fe.mel_from_ring(state["audio"], audio, t_index)
     else:
         windows, new_audio_hist = fe.frames_from_chunk(state["audio"], audio)
@@ -120,7 +125,9 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
     allowed = (bins >= lo) & (bins <= hi)
     masked = jnp.where(allowed, logits, -jnp.inf)
     qp = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-    new_state = {"audio": new_audio_hist, "blocks": new_block_states}
+    new_state = {"blocks": new_block_states}
+    if new_audio_hist is not None:
+        new_state["audio"] = new_audio_hist
     if with_logits:
         return qp, features, new_state, logits
     return qp, features, new_state

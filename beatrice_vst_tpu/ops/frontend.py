@@ -122,6 +122,27 @@ class MelFrontend:
     def ring_len(self) -> int:
         return self.ring_slots * self.hop
 
+    def _ring_bases_for(self, p_total: int):
+        """Time-ordered windowed-DFT bases over a p_total-slot hop ring
+        ([p_total, hop, bins] each).  p_total may EXCEED this front end's
+        own ring_slots (a shared ring sized for a larger window: the
+        merged phone+pitch audio ring) -- the extra leading slots are
+        zero rows, so the products are unchanged."""
+        cache = self.__dict__.setdefault("_ring_bases_cache", {})
+        if p_total not in cache:
+            cos_np, sin_np, _ = self._consts_np
+            rl = p_total * self.hop
+            if rl < self.win:
+                raise ValueError(f"ring of {p_total} slots < win {self.win}")
+            nb = cos_np.shape[1]
+            base = np.zeros((rl, nb), np.float32)
+            base[rl - self.win:] = cos_np
+            sbase = np.zeros((rl, nb), np.float32)
+            sbase[rl - self.win:] = sin_np
+            cache[p_total] = (base.reshape(p_total, self.hop, nb),
+                              sbase.reshape(p_total, self.hop, nb))
+        return cache[p_total]
+
     @functools.cached_property
     def _ring_bases(self):
         """Phase-indexed DFT bases over the hop-ring: [P, ring_len, bins].
@@ -136,9 +157,6 @@ class MelFrontend:
         result is exact), and the step one-hot-selects the phase's basis
         and runs the same two matmuls directly on the ring.
         """
-        cos_np, sin_np, _ = self._consts_np
-        p_n, hop, rl, win = self.ring_slots, self.hop, self.ring_len, self.win
-        nb = cos_np.shape[1]
         # ONE time-ordered base (slot j = j-th oldest chunk): the windowed
         # DFT rows zero-padded at the front for the <hop samples older than
         # the window.  Every phase's basis is a slot-block rotation of this
@@ -146,12 +164,7 @@ class MelFrontend:
         # ring_len*bins floats embed in the compiled program instead of P
         # times that -- the P-variant form added ~16 MB of serialized
         # constants and ~55 s to the first compile through the dev relay.
-        base = np.zeros((rl, nb), np.float32)
-        base[rl - win:] = cos_np
-        sbase = np.zeros((rl, nb), np.float32)
-        sbase[rl - win:] = sin_np
-        # host numpy (never cached jnp -- see _consts)
-        return base.reshape(p_n, hop, nb), sbase.reshape(p_n, hop, nb)
+        return self._ring_bases_for(self.ring_slots)
 
     def ring_state(self, batch_shape=(), dtype=jnp.float32):
         return jnp.zeros((*batch_shape, self.ring_len), dtype)
@@ -161,29 +174,39 @@ class MelFrontend:
         [..., ring_len] at slot pos%P, return (log-mel [..., 1, n_mels],
         new_ring).  Exactly equals frames_from_chunk+__call__ from the
         matching history (same products; zero rows contribute nothing)."""
-        cos_np, sin_np = self._ring_bases  # [P, hop, nb] time-ordered
-        cos_b, sin_b = jnp.asarray(cos_np), jnp.asarray(sin_np)
-        _, _, mel = self._consts
-        p_n = self.ring_slots
+        p_n = ring.shape[-1] // self.hop
         phase = jnp.mod(jnp.asarray(pos, jnp.int32), p_n)
         new_ring = jax.lax.dynamic_update_slice_in_dim(
             ring, chunk.astype(ring.dtype), phase * self.hop, axis=-1
         )
+        return self.mel_read_ring(new_ring, pos), new_ring
+
+    def mel_read_ring(self, ring, pos):
+        """Log-mel of the newest window in an ALREADY-written hop ring
+        (the read half of mel_from_ring).  The ring may be LARGER than
+        this front end's own window (shared phone+pitch audio ring): the
+        basis rows for slots older than the window are zero, so the
+        products are identical to the dedicated-ring form."""
+        p_n = ring.shape[-1] // self.hop
+        cos_np, sin_np = self._ring_bases_for(p_n)  # [P, hop, nb]
+        cos_b, sin_b = jnp.asarray(cos_np), jnp.asarray(sin_np)
+        _, _, mel = self._consts
+        phase = jnp.mod(jnp.asarray(pos, jnp.int32), p_n)
         # ring slot q holds the chunk of age (phase - q) mod P, i.e. the
         # (q - phase - 1) mod P -th oldest: rotate the base's slot blocks
         rot = jax.nn.one_hot(
             jnp.mod(jnp.arange(p_n) - phase - 1, p_n), p_n, dtype=cos_b.dtype
         )  # [Q, J]
         w_cos = jnp.einsum("qj,jhk->qhk", rot, cos_b).reshape(
-            self.ring_len, -1)
+            p_n * self.hop, -1)
         w_sin = jnp.einsum("qj,jhk->qhk", rot, sin_b).reshape(
-            self.ring_len, -1)
-        x = new_ring.astype(w_cos.dtype)
+            p_n * self.hop, -1)
+        x = ring.astype(w_cos.dtype)
         re = x @ w_cos
         im = x @ w_sin
         power = re * re + im * im
         out = jnp.log(jnp.maximum(power @ mel, self.log_floor))
-        return out[..., None, :], new_ring
+        return out[..., None, :]
 
     def frames_from_chunk(self, history, chunk):
         """Slice a [..., T*hop] chunk plus [..., history] left-context into

@@ -488,7 +488,7 @@ def refresh_conditioning(params, bank, state, cfg: EngineConfig, idx):
 
 
 @functools.lru_cache(maxsize=16)
-def _stream_axes(cfg: EngineConfig):
+def _stream_axes(cfg: EngineConfig, _merged=None):
     """Per-leaf stream-axis index for the resettable state subtrees,
     derived structurally: the axis whose size changes between
     eval_shape at capacity and capacity+1 IS the stream axis.  (Shape
@@ -563,11 +563,11 @@ def _ring_layout_formats(cfg: EngineConfig):
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_reset(cfg: EngineConfig):
+def _jitted_reset(cfg: EngineConfig, _merged=None):
     """Zero the carries of masked stream slots (admission / ResetContext,
     processor.cc:88-98): fresh model/resampler/gain state, controls kept.
     One fused computation regardless of how many streams reset."""
-    axes = _stream_axes(cfg)
+    axes = _stream_axes(cfg, _merged)
 
     @jax.jit
     def reset(state, mask):
@@ -595,7 +595,10 @@ def _jitted_reset(cfg: EngineConfig):
 def reset_streams(state, cfg: EngineConfig, idx):
     """Reset the given stream slots (array of indices)."""
     mask = jnp.zeros((cfg.capacity,), bool).at[jnp.asarray(idx)].set(True)
-    return _jitted_reset(cfg)(state, mask)
+    # the BEATRICE_MERGED_MEL_RING knob changes the state tree for the
+    # same cfg -- it must be part of the cache key or a mid-process knob
+    # flip serves a stale-structure reset/axes tree
+    return _jitted_reset(cfg, chain.merged_mel_ring_enabled())(state, mask)
 
 
 class StreamEngine:

@@ -1,0 +1,225 @@
+"""Out-of-distribution quality evidence (VERDICT r2 item 6).
+
+Four OOD conditions, each scored with the same metric battery as the
+in-distribution eval (scripts/quality_eval.py: MCD / F0 RMSE / voicing /
+LSD against the target's own rendition, with do-nothing baselines):
+
+  unseen_source      conversion FROM speakers held out of training
+                     (requires --model6, a model trained with
+                     `train_real_model.py --speakers 0 1 2 3 4 5`);
+                     sources are spk6/spk7 renditions the model never saw.
+  morph_target       conversion TO a held-out speaker's timbre through the
+                     MORPH path: morph weights over trained speakers are
+                     fit on ONE calibration utterance (coarse grid search
+                     minimizing MCD), then evaluated on the remaining
+                     held-out utterances against the held-out speaker's
+                     own renditions.
+  noise_robustness   sources corrupted with white noise at SNR 20 and
+                     10 dB, converted by the flagship model, scored
+                     against CLEAN targets.
+  unseen_f0          eval utterances re-rendered with the F0 contour
+                     scaled x1.6 (training corpus band is ~110-220 Hz;
+                     this pushes sources to ~180-350 Hz), converted and
+                     scored against targets rendered at the SAME raised
+                     contour (pitch is preserved by design, so the
+                     reference target must carry the raised pitch too).
+
+Writes an "ood" section into docs/QUALITY_REPORT.json (merged, the main
+report is left intact).
+
+Usage: python scripts/ood_eval.py [--model models_demo/klatt8]
+       [--model6 models_demo/klatt6] [--corpus /tmp/beatrice_corpus]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=os.path.join(REPO, "models_demo", "klatt8"))
+    ap.add_argument("--model6", default=os.path.join(REPO, "models_demo", "klatt6"))
+    ap.add_argument("--corpus", default="/tmp/beatrice_corpus")
+    ap.add_argument("--held-out", type=int, nargs="*", default=[6, 7])
+    args = ap.parse_args()
+
+    from beatrice_vst_tpu.audio_io import read_wav
+    from beatrice_vst_tpu.models.io import load_model_dir
+    from beatrice_vst_tpu.runtime.offline import (ConversionSettings,
+                                                  convert_utterance)
+    from beatrice_vst_tpu.training.quality import compare
+    from beatrice_vst_tpu.training.synthesis import (default_speakers, render,
+                                                     sample_utterance)
+
+    with open(os.path.join(args.corpus, "manifest.json")) as f:
+        manifest = json.load(f)
+    eval_utts = manifest["eval_utterances"]
+    spk_names = manifest["speakers"]
+    n_spk = len(spk_names)
+    seed = manifest["seed"]
+    speakers = default_speakers(n_spk)
+    rng_plan = np.random.default_rng(seed)
+    plans = [sample_utterance(rng_plan)
+             for _ in range(manifest["n_utterances"])]
+
+    def rendition(j, k):
+        a, sr = read_wav(os.path.join(args.corpus, "raw", spk_names[k],
+                                      f"utt{j:03d}.wav"))
+        return a, sr
+
+    def agg(rows):
+        out = {}
+        for key in ("converted", "do_nothing"):
+            if not rows or key not in rows[0]:
+                continue
+            out[key] = {
+                m: round(float(np.mean(
+                    [r[key][m] for r in rows
+                     if np.isfinite(r[key][m])])), 3)
+                for m in ("mcd_db", "f0_rmse_cents", "voicing_agreement",
+                          "lsd_db")
+            }
+        out["n_pairs"] = len(rows)
+        return out
+
+    ood = {}
+    t0 = time.time()
+
+    # ---- flagship-model conditions (no extra training needed) ----
+    _, cfg8, params8, bank8 = load_model_dir(args.model)
+
+    # noise robustness: SNR 20 / 10 dB on the source
+    for snr_db in (20.0, 10.0):
+        rows = []
+        rng = np.random.default_rng(int(snr_db))
+        for j in eval_utts[:3]:
+            for s, t in ((0, 3), (2, 5), (4, 1)):
+                src, sr = rendition(j, s)
+                ref, _ = rendition(j, t)
+                p_sig = float(np.mean(src ** 2))
+                noise = rng.standard_normal(len(src)).astype(np.float32)
+                noise *= np.sqrt(p_sig / 10 ** (snr_db / 10))
+                noisy = src + noise
+                conv = convert_utterance(
+                    params8, cfg8, bank8, noisy, sr,
+                    ConversionSettings(target_speaker=t), out_sample_rate=sr)
+                rows.append({"utt": j, "src": s, "tgt": t,
+                             "converted": compare(conv, ref, sr),
+                             "do_nothing": compare(noisy, ref, sr)})
+                print(f"noise {snr_db}dB", json.dumps(rows[-1]), flush=True)
+        ood[f"noise_snr_{int(snr_db)}db"] = agg(rows)
+
+    # unseen F0 range: x1.6 contour, targets re-rendered at the same
+    # contour (the chain preserves source pitch by design)
+    rows = []
+    for j in eval_utts[:3]:
+        segs, f0 = plans[j]
+        f0_hi = f0 * 1.6
+        for s, t in ((1, 4), (3, 0), (5, 2)):
+            sr = manifest["sample_rate"]
+            src = render(segs, f0_hi, speakers[s],
+                         np.random.default_rng(777001 + j * 131 + s), sr)
+            ref = render(segs, f0_hi, speakers[t],
+                         np.random.default_rng(777002 + j * 131 + t), sr)
+            conv = convert_utterance(
+                params8, cfg8, bank8, src, sr,
+                ConversionSettings(target_speaker=t), out_sample_rate=sr)
+            rows.append({"utt": j, "src": s, "tgt": t,
+                         "converted": compare(conv, ref, sr),
+                         "do_nothing": compare(src, ref, sr)})
+            print("unseen_f0", json.dumps(rows[-1]), flush=True)
+    ood["unseen_f0_x1.6"] = agg(rows)
+
+    # ---- held-out-speaker conditions (need the 6-speaker model) ----
+    if os.path.isdir(args.model6):
+        _, cfg6, params6, bank6 = load_model_dir(args.model6)
+        trained = [k for k in range(n_spk) if k not in args.held_out]
+
+        # conversion FROM unseen sources to trained targets
+        rows = []
+        for j in eval_utts[:3]:
+            for s in args.held_out:
+                for t in trained[:2]:
+                    src, sr = rendition(j, s)
+                    ref, _ = rendition(j, t)
+                    conv = convert_utterance(
+                        params6, cfg6, bank6, src, sr,
+                        ConversionSettings(target_speaker=t),
+                        out_sample_rate=sr)
+                    rows.append({"utt": j, "src": s, "tgt": t,
+                                 "converted": compare(conv, ref, sr),
+                                 "do_nothing": compare(src, ref, sr)})
+                    print("unseen_source", json.dumps(rows[-1]), flush=True)
+        ood["unseen_source"] = agg(rows)
+
+        # conversion TO a held-out timbre via the morph path: fit morph
+        # weights on ONE calibration utterance by coarse grid search
+        cal_j = eval_utts[0]
+        eval_js = eval_utts[1:3]
+        rows = []
+        for held in args.held_out:
+            cal_src, sr = rendition(cal_j, trained[0])
+            cal_ref, _ = rendition(cal_j, held)
+            best = (None, np.inf)
+            # grid: pairs of trained speakers, 5 blend ratios
+            for a in range(len(trained)):
+                for b in range(a + 1, len(trained)):
+                    for w in (0.2, 0.35, 0.5, 0.65, 0.8):
+                        wts = np.zeros(len(trained), np.float32)
+                        wts[a], wts[b] = 1 - w, w
+                        conv = convert_utterance(
+                            params6, cfg6, bank6, cal_src, sr,
+                            ConversionSettings(morph_weights=wts),
+                            out_sample_rate=sr)
+                        mcd = compare(conv, cal_ref, sr)["mcd_db"]
+                        if mcd < best[1]:
+                            best = (wts, mcd)
+            wts = best[0]
+            print(f"morph fit for held-out spk{held}: weights "
+                  f"{np.round(wts, 2).tolist()} cal MCD {best[1]:.2f}",
+                  flush=True)
+            for j in eval_js:
+                for s in trained[:2]:
+                    src, sr = rendition(j, s)
+                    ref, _ = rendition(j, held)
+                    conv = convert_utterance(
+                        params6, cfg6, bank6, src, sr,
+                        ConversionSettings(morph_weights=wts),
+                        out_sample_rate=sr)
+                    rows.append({
+                        "utt": j, "src": s, "tgt_held_out": held,
+                        "morph_weights": np.round(wts, 3).tolist(),
+                        "converted": compare(conv, ref, sr),
+                        "do_nothing": compare(src, ref, sr)})
+                    print("morph_target", json.dumps(rows[-1]), flush=True)
+        ood["morph_target_unseen"] = agg(rows)
+        ood["model6"] = os.path.relpath(args.model6, REPO)
+        ood["held_out_speakers"] = args.held_out
+    else:
+        ood["unseen_source"] = ood["morph_target_unseen"] = (
+            f"skipped: {args.model6} not found (train with "
+            "train_real_model.py --speakers 0 1 2 3 4 5)")
+
+    ood["wall_s"] = round(time.time() - t0, 1)
+
+    out = os.path.join(REPO, "docs", "QUALITY_REPORT.json")
+    report = json.load(open(out)) if os.path.exists(out) else {}
+    report["ood"] = ood
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"ood": {k: v for k, v in ood.items()
+                              if isinstance(v, dict)}}, indent=1))
+    print("merged into", out)
+
+
+if __name__ == "__main__":
+    main()

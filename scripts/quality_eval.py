@@ -123,6 +123,9 @@ def main():
             ("mcd_db", "f0_rmse_cents", "voicing_agreement", "lsd_db")}
         for k in ("converted", "do_nothing", "rerender_floor")
     }
+    summary["pairs_worse_than_do_nothing_mcd"] = int(sum(
+        1 for r in rows
+        if r["converted"]["mcd_db"] > r["do_nothing"]["mcd_db"]))
     report = {
         "device": str(jax.devices()[0]),
         "model": os.path.relpath(args.model, REPO),
