@@ -21,15 +21,17 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# r3: the A/B axis is the merged phone+pitch mel ring (chain.init_state
+# reads BEATRICE_MERGED_MEL_RING at engine build).  src=dot + bmajor pin
+# won round 2 and stay fixed.
 CONFIGS = [
-    # (name, src_mode, bmajor_pin)
-    ("dot_pin", "dot", "1"),
-    ("fma_pin", "fma", "1"),
-    ("dot_nopin", "dot", "0"),
+    # (name, src_mode, bmajor_pin, merged_mel_ring)
+    ("merged_ring", "dot", "1", "1"),
+    ("split_ring", "dot", "1", "0"),
 ]
 
 
-def measure(capacity, src_mode, bmajor_pin):
+def measure(capacity, src_mode, bmajor_pin, merged_ring="1"):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +43,7 @@ def measure(capacity, src_mode, bmajor_pin):
 
     wg._SRC_MODE = src_mode
     os.environ["BEATRICE_BMAJOR_PIN"] = bmajor_pin
+    os.environ["BEATRICE_MERGED_MEL_RING"] = merged_ring
 
     cfg = EngineConfig.realtime(capacity, V20RC0, compute_dtype="bfloat16")
     params = chain.init(jax.random.PRNGKey(0), cfg.model)
@@ -71,17 +74,17 @@ def measure(capacity, src_mode, bmajor_pin):
 def main():
     caps = [int(c) for c in sys.argv[1:]] or [19456, 20480]
     results = {}
-    for name, src_mode, pin in CONFIGS:
+    for name, src_mode, pin, merged in CONFIGS:
         for cap in caps:
             t0 = time.time()
-            ms = measure(cap, src_mode, pin)
+            ms = measure(cap, src_mode, pin, merged)
             row = {"config": name, "capacity": cap,
                    "steady_tick_ms": round(ms, 3),
                    "realtime": ms < 9.5,
                    "build_s": round(time.time() - t0, 1)}
             results[f"{name}@{cap}"] = row
             print(json.dumps(row), flush=True)
-    with open(os.path.join(REPO, "docs", "BENCH_AB_R2.json"), "w") as f:
+    with open(os.path.join(REPO, "docs", "BENCH_AB_R3.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 

@@ -145,11 +145,22 @@ def main():
         if m.get("ticks", 0) > 20 and m.get("tick_p50_ms", 1e9) < 9.0 * fpt:
             break
         time.sleep(1.0)
-    wc = VCClient(addr=("127.0.0.1", PORT), sample_rate=48000.0, timeout=600.0)
-    wc.set_parameter("voice", 1)
-    wc.push(np.zeros(480, np.float32))
-    time.sleep(0.5)
-    wc.close()
+    # fleet-shaped warm-up: open as many concurrent sessions as the run
+    # will use and set the same parameters the clients set, so every
+    # staged-control scatter shape and the multi-session reset path are
+    # compiled BEFORE the fleet connects (the r2 TPU soak showed a 23 s
+    # p99 tick -- a mid-run compile -- with only a single-session warm-up)
+    warm = [VCClient(addr=("127.0.0.1", PORT), sample_rate=48000.0,
+                     timeout=600.0) for _ in range(n_clients)]
+    for i, wc in enumerate(warm):
+        wc.set_parameter("voice", i % 4)
+        wc.set_parameter("pitch_shift", float(i - 4))
+        wc.push(np.zeros(480 * fpt, np.float32))
+    time.sleep(2.0 if jax.default_backend() == "cpu" else 8.0)
+    for wc in warm:
+        wc.pull(480, timeout=1.0)
+        wc.close()
+    time.sleep(1.0)
     base_ticks = host.metrics().get("ticks", 0)
     print("warm-up done", file=sys.stderr)
 
