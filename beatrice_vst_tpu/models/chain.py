@@ -142,18 +142,25 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     spec = cfg.spec
 
     shared_ring = None
+    mel_phone = mel_pitch = None
     if "audio" in state and t_index is not None:
-        # merged audio ring: one DUS write per tick, both front ends read
+        # merged audio ring: one DUS write per tick, then ONE fused
+        # windowed-DFT matmul produces both front ends' mels (the column
+        # blocks are the per-frontend products exactly)
+        from ..ops.frontend import dual_mel_read_ring
+
         hop = cfg.phone.frontend.hop
         p_total = state["audio"].shape[-1] // hop
         phase = jnp.mod(jnp.asarray(t_index, jnp.int32), p_total)
         shared_ring = jax.lax.dynamic_update_slice_in_dim(
             state["audio"], audio16.astype(state["audio"].dtype),
             phase * hop, axis=-1)
+        mel_phone, mel_pitch = dual_mel_read_ring(
+            cfg.phone.frontend, cfg.pitch.frontend, shared_ring, t_index)
 
     phone, phone_state = phone_extractor.apply(
         params["phone"], cfg.phone, audio16, state["phone"], compute_dtype,
-        t_index=t_index, shared_ring=shared_ring,
+        t_index=t_index, shared_ring=shared_ring, mel=mel_phone,
     )
     if spec.has_vq:
         if "codebook_bank" in cond:
@@ -181,7 +188,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     pe_out = pitch_estimator.apply(
         params["pitch"], cfg.pitch, audio16, state["pitch"],
         cond["min_q"], cond["max_q"], compute_dtype, t_index=t_index,
-        with_logits=with_taps, shared_ring=shared_ring,
+        with_logits=with_taps, shared_ring=shared_ring, mel=mel_pitch,
     )
     if with_taps:
         qp_raw, pitch_feats, pitch_state, pitch_logits = pe_out

@@ -80,7 +80,7 @@ def init_state(cfg: PhoneExtractorConfig, batch_shape=(), dtype=jnp.float32,
 
 
 def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None,
-          t_index=None, shared_ring=None):
+          t_index=None, shared_ring=None, mel=None):
     """audio: [B, T*160] raw 16 kHz samples -> phone [B, T, phone_channels].
 
     Returns (phone, new_state).  T=1 gives the per-frame streaming step;
@@ -90,7 +90,11 @@ def apply(params, cfg: PhoneExtractorConfig, audio, state, compute_dtype=None,
     (layers.causal_conv) used by the serving engine.
     """
     fe = cfg.frontend
-    if shared_ring is not None and t_index is not None:
+    if mel is not None:
+        # precomputed by the chain's fused dual-frontend read
+        # (ops/frontend.py dual_mel_read_ring)
+        new_audio_hist = None
+    elif shared_ring is not None and t_index is not None:
         # merged audio ring (chain-owned, already written this frame):
         # read-only -- halves the per-tick ring DUS traffic vs dedicated
         # phone+pitch rings (docs/ROOFLINE.md "named remaining fat" #2)

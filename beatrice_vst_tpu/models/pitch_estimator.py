@@ -81,7 +81,7 @@ def init_state(cfg: PitchEstimatorConfig, batch_shape=(), dtype=jnp.float32,
 def apply(params, cfg: PitchEstimatorConfig, audio, state,
           min_quantized_pitch=None, max_quantized_pitch=None,
           compute_dtype=None, t_index=None, with_logits: bool = False,
-          shared_ring=None):
+          shared_ring=None, mel=None):
     """audio: [B, T*160] -> (quantized_pitch [B,T] int32, features [B,T,4]).
 
     min/max_quantized_pitch: [B] int per-stream bin clamps (default full
@@ -93,7 +93,10 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
     argmax itself is non-differentiable and saturates as a target).
     """
     fe = cfg.frontend
-    if shared_ring is not None and t_index is not None:
+    if mel is not None:
+        # precomputed by the chain's fused dual-frontend read
+        new_audio_hist = None
+    elif shared_ring is not None and t_index is not None:
         # merged audio ring (chain-owned, already written this frame)
         mel = fe.mel_read_ring(shared_ring, t_index)
         new_audio_hist = None

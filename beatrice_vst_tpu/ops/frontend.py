@@ -208,6 +208,12 @@ class MelFrontend:
         out = jnp.log(jnp.maximum(power @ mel, self.log_floor))
         return out[..., None, :]
 
+    def mel_project(self, re, im):
+        """(re, im) DFT products -> log-mel (the tail of mel_read_ring)."""
+        _, _, mel = self._consts
+        power = re * re + im * im
+        return jnp.log(jnp.maximum(power @ mel, self.log_floor))
+
     def frames_from_chunk(self, history, chunk):
         """Slice a [..., T*hop] chunk plus [..., history] left-context into
         per-frame windows [..., T, win]; returns (windows, new_history).
@@ -230,3 +236,35 @@ class MelFrontend:
         parts = [rows[..., j: j + t, :] for j in range(nrows)]
         windows = jnp.concatenate(parts, axis=-1)[..., : self.win]
         return windows, new_history
+
+
+def dual_mel_read_ring(fe_a: MelFrontend, fe_b: MelFrontend, ring, pos):
+    """Both front ends' log-mels from ONE shared hop ring in ONE fused
+    DFT matmul.
+
+    The merged phone+pitch ring (models/chain.py) lets each front end
+    read the same [B, ring_len] buffer, but two separate mel_read_ring
+    calls still read the ring four times (cos+sin per front end) and
+    rotate two basis pairs.  Concatenating the four windowed-DFT bases
+    along the bin axis makes it one [B, ring_len] x [ring_len, 2(na+nb)]
+    contraction -- column blocks of a matmul are independent, so the
+    products are bitwise the per-frontend ones.  Requires equal hops.
+    """
+    assert fe_a.hop == fe_b.hop
+    hop = fe_a.hop
+    p_n = ring.shape[-1] // hop
+    ca, sa = fe_a._ring_bases_for(p_n)
+    cb, sb = fe_b._ring_bases_for(p_n)
+    na, nb = ca.shape[-1], cb.shape[-1]
+    w_np = np.concatenate([ca, sa, cb, sb], axis=-1)  # [P, hop, 2na+2nb]
+    w = jnp.asarray(w_np)
+    phase = jnp.mod(jnp.asarray(pos, jnp.int32), p_n)
+    rot = jax.nn.one_hot(
+        jnp.mod(jnp.arange(p_n) - phase - 1, p_n), p_n, dtype=w.dtype)
+    w_rot = jnp.einsum("qj,jhk->qhk", rot, w).reshape(p_n * hop, -1)
+    prod = ring.astype(w.dtype) @ w_rot
+    re_a, im_a = prod[..., :na], prod[..., na:2 * na]
+    re_b, im_b = prod[..., 2 * na:2 * na + nb], prod[..., 2 * na + nb:]
+    mel_a = fe_a.mel_project(re_a, im_a)[..., None, :]
+    mel_b = fe_b.mel_project(re_b, im_b)[..., None, :]
+    return mel_a, mel_b
