@@ -123,6 +123,11 @@ def main():
     # CPU default 4: the 2-core box pays ~20 ms of host dispatch per tick
     # regardless of frame count, so 40 ms ticks amortize it under budget
     fpt = int(os.environ.get("SOAK_FPT", "25" if on_tpu else "4"))
+    # SOAK_PIPELINE=0/1 overrides the default (pipeline on TPU only) and
+    # keys the report entry separately -- the pipeline-on vs pipeline-off
+    # cadence A/B the r2 review asked for
+    pipe_env = os.environ.get("SOAK_PIPELINE")
+    pipeline = on_tpu if pipe_env is None else pipe_env == "1"
     # CPU capacity 8 (was 16): the engine computes every capacity row
     # each tick regardless of live sessions, and 16 rows of chain on the
     # 2-core box is ~0.73x real time per row -- the committed r2 CPU soak
@@ -131,7 +136,7 @@ def main():
     host = ModelHost(capacity=256 if on_tpu else 8,
                      compute_dtype="bfloat16" if on_tpu else None,
                      realtime=True,
-                     frames_per_tick=fpt, pipeline=on_tpu)
+                     frames_per_tick=fpt, pipeline=pipeline)
     assert host.load_model(model_dir) == ErrorCode.SUCCESS
     srv = VCServer(("127.0.0.1", PORT), host)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -215,7 +220,7 @@ def main():
         "n_clients": n_clients,
         "duration_s": duration,
         "frames_per_tick": fpt,
-        "pipeline": on_tpu,
+        "pipeline": pipeline,
         "wall_s": round(wall, 1),
         "tick_cadence_hz": round(tick_cadence, 1),
         "note": ("dev-relay D2H (~150 ms per host read of the tick output) "
@@ -240,7 +245,10 @@ def main():
             combined = {}
     if "clients" in combined:  # migrate a single-entry legacy report
         combined = {}
-    combined["tpu" if on_tpu else "cpu"] = report
+    key = "tpu" if on_tpu else "cpu"
+    if pipe_env is not None:
+        key += "_pipeline" if pipeline else "_nopipeline"
+    combined[key] = report
     with open(out_path, "w") as f:
         json.dump(combined, f, indent=1)
     print(json.dumps(report))
