@@ -41,8 +41,8 @@ def phase(name, fn):
 def train():
     import scripts.train_real_model as tr
 
-    sys.argv = ["train_real_model.py", "--steps", "30000",
-                "--gan-steps", "3000", "--f0-weight", "2.0",
+    sys.argv = ["train_real_model.py", "--steps", str(int(os.environ.get("R3_STEPS", "24000"))),
+                "--gan-steps", str(int(os.environ.get("R3_GAN_STEPS", "2500"))), "--f0-weight", "2.0",
                 "--ckpt-dir", "/tmp/beatrice_train_ckpt_r3", "--resume"]
     tr.main()
 
@@ -65,8 +65,8 @@ def diagnose():
 def train6():
     import scripts.train_real_model as tr
 
-    sys.argv = ["train_real_model.py", "--steps", "12000",
-                "--gan-steps", "1000", "--f0-weight", "2.0",
+    sys.argv = ["train_real_model.py", "--steps", str(int(os.environ.get("R3_K6_STEPS", "10000"))),
+                "--gan-steps", "800", "--f0-weight", "2.0",
                 "--speakers", "0", "1", "2", "3", "4", "5",
                 "--out", os.path.join(REPO, "models_demo", "klatt6"),
                 "--report", os.path.join(REPO, "docs",
