@@ -135,26 +135,46 @@ def main():
         opt = make_optimizer(args.lr * 0.1)
         opt_state = opt.init(student)
 
+        from beatrice_vst_tpu.training.distill import (
+            multi_resolution_stft_loss)
+
         @jax.jit
-        def e2e_step(params, opt_state, batch, target24):
-            (loss, aux), grads = jax.value_and_grad(
-                distillation_loss, has_aux=True)(
-                params, cfg, batch["audio16"], target24, batch["cond"])
+        def e2e_step(params, opt_state, batch, target24, t_qp_raw):
+            # pitch-ANCHORED polish: CE on the student's pre-transform
+            # bin logits against the teacher's argmax.  The r2-style
+            # polish (waveform losses only) measurably ERODED bin
+            # agreement (qp_match 0.830 -> 0.787 at 600 steps) because
+            # the waveform loss cannot see which frames flipped bins.
+            def loss_fn(p):
+                state = chain.init_state(cfg, (batch["audio16"].shape[0],))
+                pred, _, taps = chain.apply(
+                    p, cfg, batch["audio16"], state, batch["cond"],
+                    with_taps=True)
+                lg = taps["pitch_logits"]
+                ce = -jnp.take_along_axis(
+                    jax.nn.log_softmax(lg, -1), t_qp_raw[..., None],
+                    axis=-1)[..., 0].mean()
+                return (multi_resolution_stft_loss(pred, target24)
+                        + jnp.mean(jnp.abs(pred - target24)) + ce)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         @jax.jit
         def teacher_wav(batch):
             state = chain.init_state(cfg, (batch["audio16"].shape[0],))
-            return chain.apply(teacher, cfg, batch["audio16"], state,
-                               batch["cond"])[0]
+            wav, _, taps = chain.apply(teacher, cfg, batch["audio16"], state,
+                                       batch["cond"], with_taps=True)
+            return wav, taps["qp_raw"]
 
         curve = []
         t0 = time.time()
         for step in range(args.e2e_steps):
             b = make_batch(1000 + step)
+            t24, t_qp = teacher_wav(b)
             student, opt_state, loss = e2e_step(student, opt_state, b,
-                                                teacher_wav(b))
+                                                t24, t_qp)
             if step % 100 == 0 or step == args.e2e_steps - 1:
                 curve.append([step, float(loss)])
                 print(f"e2e step {step}: {float(loss):.6f}", flush=True)
