@@ -48,6 +48,8 @@ def main():
                                                      "TRAIN_REAL_REPORT.json"))
     ap.add_argument("--ckpt-dir", default="/tmp/beatrice_train_ckpt")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow re-initializing an existing model dir")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +74,16 @@ def main():
     if args.resume and os.path.isdir(args.out):
         _, model_cfg, params, bank = load_model_dir(args.out)
     else:
+        # Refuse to silently clobber an existing (possibly shipped) model
+        # dir: a fresh run at 04:31 r3 overwrote the committed trained
+        # models_demo/klatt8 with its random init and every downstream
+        # eval quietly measured a random model until the garbage metrics
+        # gave it away.
+        if os.path.exists(os.path.join(args.out, "weights.npz")) \
+                and not args.overwrite:
+            raise SystemExit(
+                f"{args.out} already holds a model; pass --resume to "
+                "continue it or --overwrite to re-initialize")
         _, model_cfg, params, bank = init_random_model_dir(
             args.out, version="2.0.0-rc.0", n_voices=n_voices,
             seed=args.seed, name="klatt8-demo",
