@@ -81,13 +81,15 @@ def main():
         for key in ("converted", "do_nothing"):
             if not rows or key not in rows[0]:
                 continue
-            out[key] = {
-                m: round(float(np.mean(
-                    [r[key][m] for r in rows
-                     if np.isfinite(r[key][m])])), 3)
-                for m in ("mcd_db", "f0_rmse_cents", "voicing_agreement",
-                          "lsd_db")
-            }
+            def mean_of(m):
+                vals = [r[key][m] for r in rows
+                        if r[key][m] is not None
+                        and np.isfinite(r[key][m])]
+                return round(float(np.mean(vals)), 3) if vals else None
+
+            out[key] = {m: mean_of(m)
+                        for m in ("mcd_db", "f0_rmse_cents",
+                                  "voicing_agreement", "lsd_db")}
         out["n_pairs"] = len(rows)
         return out
 
