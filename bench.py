@@ -98,6 +98,29 @@ def measure_capacity(capacity: int):
 
 
 def main():
+    # Watchdog: a dead dev-relay tunnel makes the first device touch hang
+    # FOREVER in the claim loop (seen in r3: the relay's outer consumer
+    # died and nothing in-VM can restore it).  An honest one-line JSON
+    # error beats an eternally hung bench: if no capacity completes
+    # within BENCH_INIT_TIMEOUT seconds (default 30 min -- claim recycle
+    # plus first compile fit comfortably), emit the error line and exit.
+    import threading
+
+    deadline_s = float(os.environ.get("BENCH_INIT_TIMEOUT", "1800"))
+    first_done = threading.Event()
+
+    def watchdog():
+        if not first_done.wait(deadline_s):
+            print(json.dumps({
+                "metric": "realtime_streams_per_chip", "value": 0,
+                "unit": "streams", "vs_baseline": 0.0,
+                "error": f"no TPU tick completed within {deadline_s:.0f}s "
+                         "(device claim hung -- relay tunnel down?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
 
     results = []
@@ -110,6 +133,7 @@ def main():
                 del last_engine  # free the previous engine's device state
                 last_engine = None
             r, last_engine = measure_capacity(capacity)
+            first_done.set()  # device is alive: disarm the watchdog
             log(f"bench: capacity {capacity} done in {time.perf_counter()-t0:.1f}s: {r}")
         except Exception as e:
             results.append({"capacity": capacity, "error": str(e)[:200]})
