@@ -141,6 +141,33 @@ def main():
             print("unseen_f0", json.dumps(rows[-1]), flush=True)
     ood["unseen_f0_x1.6"] = agg(rows)
 
+    # unseen-source timbres that need NO held-out training: render the
+    # eval utterances with two NOVEL synthesizer voices outside the
+    # trained range (formant_scale 0.78 / 1.30 vs the corpus's
+    # 0.82-1.24, plus extreme tilt/breathiness combos) and convert them
+    # to trained targets with the flagship model
+    from beatrice_vst_tpu.training.synthesis import SpeakerSpec
+
+    novel = [SpeakerSpec("novel_deep", 0.78, 0.93, 0.6, 0.05, 0.48, 1.2),
+             SpeakerSpec("novel_bright", 1.30, 1.05, 0.0, 0.16, 0.8, 0.9)]
+    rows = []
+    for j in eval_utts[:3]:
+        segs, f0 = plans[j]
+        sr = manifest["sample_rate"]
+        for si, spk in enumerate(novel):
+            for t in (1, 4):
+                src = render(segs, f0, spk,
+                             np.random.default_rng(888001 + j * 131 + si), sr)
+                ref, _ = rendition(j, t)
+                conv = convert_utterance(
+                    params8, cfg8, bank8, src, sr,
+                    ConversionSettings(target_speaker=t), out_sample_rate=sr)
+                rows.append({"utt": j, "src": spk.name, "tgt": t,
+                             "converted": compare(conv, ref, sr),
+                             "do_nothing": compare(src, ref, sr)})
+                print("novel_source", json.dumps(rows[-1]), flush=True)
+    ood["unseen_source_novel_timbre"] = agg(rows)
+
     # ---- held-out-speaker conditions (need the 6-speaker model) ----
     if os.path.isdir(args.model6):
         _, cfg6, params6, bank6 = load_model_dir(args.model6)
