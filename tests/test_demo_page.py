@@ -139,3 +139,40 @@ def test_page_protocol_sequence(host_and_addr):
     out2 = c.pull(480, timeout=120.0)
     assert np.isfinite(out2).all()
     c.close()
+
+
+def test_page_file_conversion_sequence(host_and_addr):
+    """convertFile()'s path: stream a whole clip in paced 20 ms frames,
+    drain until the server goes quiet, and get (almost) the full length
+    back -- the offline-file mode of the demo page."""
+    import time
+
+    _, addr = host_and_addr
+    c = WSClient(addr, sample_rate=48000.0)
+    assert c.set_parameter("voice", 2)["ok"]
+    sr = 48000
+    n = sr  # 1 s clip
+    t = np.arange(n) / sr
+    clip = (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    frame = int(sr * 0.02)
+    got = []
+    for i in range(0, n, frame):
+        c.push(clip[i: i + frame])
+        out = c.pull(0, timeout=0.001)
+        if len(out):
+            got.append(out)
+    # drain until quiet (the page waits for 1.5 s of silence; tests give
+    # the eager CPU server more slack)
+    quiet = 0
+    deadline = time.time() + 240
+    while quiet < 6 and time.time() < deadline:
+        out = c.pull(480, timeout=0.5)
+        if len(out):
+            got.append(out)
+            quiet = 0
+        else:
+            quiet += 1
+    total = sum(len(g) for g in got)
+    assert total >= n - 4800, f"got {total} of {n} samples back"
+    assert all(np.isfinite(g).all() for g in got)
+    c.close()
