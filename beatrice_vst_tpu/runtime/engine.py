@@ -541,7 +541,10 @@ def _ring_layout_formats(cfg: EngineConfig):
         return None  # CPU/GPU layout support differs; only TPU is profiled
     shard = SingleDeviceSharding(dev)
     shapes = jax.eval_shape(lambda: init_engine_state(cfg))
-    axes = _stream_axes(cfg)
+    # the merged-mel-ring knob changes the state tree for the same cfg;
+    # it must join the lru key or a mid-process knob flip (bench A/B)
+    # serves a stale-structure axes tree against the fresh eval_shape
+    axes = _stream_axes(cfg, chain.merged_mel_ring_enabled())
 
     # b-major [B, R, C] carries (the fine-rate upsampler tap windows and
     # the final-conv state) want the same B-on-lanes layout: profiled at

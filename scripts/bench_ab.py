@@ -73,19 +73,29 @@ def measure(capacity, src_mode, bmajor_pin, merged_ring="1"):
 
 def main():
     caps = [int(c) for c in sys.argv[1:]] or [19456, 20480]
+    out_path = os.path.join(REPO, "docs", "BENCH_AB_R3.json")
     results = {}
+    # incremental write + per-config fault isolation: a crash in one
+    # config (or a dropped relay) must not discard the rows already
+    # measured in this chip claim (learned the hard way in r3)
     for name, src_mode, pin, merged in CONFIGS:
         for cap in caps:
             t0 = time.time()
-            ms = measure(cap, src_mode, pin, merged)
-            row = {"config": name, "capacity": cap,
-                   "steady_tick_ms": round(ms, 3),
-                   "realtime": ms < 9.5,
-                   "build_s": round(time.time() - t0, 1)}
+            try:
+                ms = measure(cap, src_mode, pin, merged)
+                row = {"config": name, "capacity": cap,
+                       "steady_tick_ms": round(ms, 3),
+                       "realtime": ms < 9.5,
+                       "build_s": round(time.time() - t0, 1)}
+            except Exception as e:  # noqa: BLE001 - keep the claim alive
+                import traceback
+                traceback.print_exc()
+                row = {"config": name, "capacity": cap,
+                       "error": f"{type(e).__name__}: {e}"}
             results[f"{name}@{cap}"] = row
             print(json.dumps(row), flush=True)
-    with open(os.path.join(REPO, "docs", "BENCH_AB_R3.json"), "w") as f:
-        json.dump(results, f, indent=1)
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -152,3 +152,22 @@ def test_offline_convert_shapes_and_rates():
     )
     assert np.isfinite(y2).all()
     assert not np.allclose(y, y2)
+
+
+def test_stream_axes_cache_survives_merged_ring_flip(monkeypatch):
+    """The merged-mel-ring knob changes the engine state TREE for the same
+    cfg, and _stream_axes is lru-cached -- the knob must be part of the
+    cache key everywhere (a mid-process flip, e.g. scripts/bench_ab.py,
+    once served a stale merged-structure axes tree against a fresh split
+    eval_shape and crashed tree_map with a dict-key mismatch)."""
+    from beatrice_vst_tpu.runtime import engine as eng_mod
+
+    cfg = EngineConfig.realtime(CAP, V20RC0)
+    for knob in ("1", "0", "1"):
+        monkeypatch.setenv("BEATRICE_MERGED_MEL_RING", knob)
+        shapes = jax.eval_shape(lambda: eng_mod.init_engine_state(cfg))
+        axes = eng_mod._stream_axes(cfg, chain.merged_mel_ring_enabled())
+        for key in ("model", "rs_in", "rs_out"):
+            # the exact zip _ring_layout_formats performs: structures of
+            # the live eval_shape and the cached axes tree must agree
+            jax.tree_util.tree_map(lambda a, b: None, shapes[key], axes[key])
