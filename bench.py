@@ -27,8 +27,13 @@ import time
 
 import numpy as np
 
+# Ladder picked from docs/BENCH_AB_R3.json (merged mel ring, r3): 19456
+# is the safe rung (9.209 ms), 19968 the measured headline (9.367 ms),
+# 20480 the stretch attempt (9.495/9.500/9.516 across samples, right at
+# the 9.5 ms gate).  20224 is deliberately absent: a bad tiling point
+# (9.782 ms, slower than 20480).
 CAPACITIES = tuple(
-    int(c) for c in os.environ.get("BENCH_CAPACITIES", "18432,19456,20480").split(",")
+    int(c) for c in os.environ.get("BENCH_CAPACITIES", "19456,19968,20480").split(",")
 )
 N_WINDOWS = 4
 TICKS_PER_WINDOW = 50
