@@ -125,7 +125,7 @@ def default_cond(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32):
 
 def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
           compute_dtype=None, t_index=None, vq_int8_query: bool = False,
-          with_taps: bool = False):
+          with_taps: bool = False, soft_pitch: bool = False):
     """audio16: [B, T*160] @16 kHz -> (audio24 [B, T*240] @24 kHz, state).
 
     t_index: optional scalar absolute frame index (T=1 only) -- switches
@@ -138,6 +138,16 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     stage boundaries (phone features, raw + transformed quantized pitch,
     pitch aux features) -- the supervision points for per-module feature
     distillation (training/feature_distill.py).
+
+    soft_pitch=True conditions the vocoder on the softmax *expectation*
+    over the clamp-masked bin logits instead of the argmax: the pitch
+    transform runs un-rounded (continuous bins) and the pitch embedding
+    is linearly interpolated (waveform_generator soft_pitch).  This makes
+    the whole chain differentiable through the pitch path -- the training
+    configuration (training/distill.py) -- and is also a supported
+    inference mode (runtime/offline.py ConversionSettings.soft_pitch),
+    oracle-gated in tests/test_golden.py.  Default off: the argmax path
+    is the reference-parity semantics (beatrice.h:88-93).
     """
     spec = cfg.spec
 
@@ -188,13 +198,19 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
     pe_out = pitch_estimator.apply(
         params["pitch"], cfg.pitch, audio16, state["pitch"],
         cond["min_q"], cond["max_q"], compute_dtype, t_index=t_index,
-        with_logits=with_taps, shared_ring=shared_ring, mel=mel_pitch,
+        with_logits=with_taps or soft_pitch, shared_ring=shared_ring,
+        mel=mel_pitch,
     )
-    if with_taps:
+    if with_taps or soft_pitch:
         qp_raw, pitch_feats, pitch_state, pitch_logits = pe_out
     else:
         qp_raw, pitch_feats, pitch_state = pe_out
         pitch_logits = None
+
+    if soft_pitch:
+        qp_raw = pitch_estimator.expected_bin(
+            pitch_logits, cond["min_q"], cond["max_q"],
+            pitch_bins=spec.pitch_bins)
 
     # Pitch shift / intonation / correction (processor_core_0.cc:58-120),
     # broadcast over the frame axis.
@@ -206,6 +222,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         pitch_correction=cond["pitch_correction"][:, None],
         pitch_correction_type=cond["pitch_correction_type"][:, None],
         pitch_bins=spec.pitch_bins,
+        round_output=not soft_pitch,
     )
 
     audio24, wg_state = waveform_generator.apply(
@@ -214,7 +231,7 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         kv_embedding=cond.get("kv"), kv_cache=cond.get("kv_cache"),
         compute_dtype=compute_dtype,
         kv_bank=cond.get("kv_bank"), kv_slot=cond.get("kv_slot"),
-        t_index=t_index,
+        t_index=t_index, soft_pitch=soft_pitch,
     )
     new_state = {"phone": phone_state, "pitch": pitch_state, "wg": wg_state}
     if shared_ring is not None:

@@ -157,6 +157,30 @@ def _ring_min_r() -> int:
     return int(os.environ.get("BEATRICE_RING_MIN_R", "1"))
 
 
+def clear_env_knob_caches():
+    """Drop every lru-cached reader of a BEATRICE_* env knob so a
+    mid-process knob flip takes effect.  A/B drivers MUST call this
+    between configurations: the r3c ring_dus_select@20480 row silently
+    re-measured the default because _ring_mode()/_ring_mode_for() were
+    already populated by the preceding row in the same process (ADVICE
+    r3, the same stale-cache class as the BEATRICE_MERGED_MEL_RING
+    _stream_axes bug fixed in 1c4b542)."""
+    _ring_layout.cache_clear()
+    _ring_mode.cache_clear()
+    _ring_mode_for.cache_clear()
+    _ring_min_r.cache_clear()
+    _chunk_conv_mode.cache_clear()
+    try:  # engine-side env-dependent caches (import cycle-safe)
+        from ..runtime import engine as _engine
+
+        for name in ("_ring_layout_formats", "_stream_axes"):
+            fn = getattr(_engine, name, None)
+            if hasattr(fn, "cache_clear"):
+                fn.cache_clear()
+    except ImportError:
+        pass
+
+
 @functools.lru_cache(maxsize=1)
 def _chunk_conv_mode() -> str:
     """T>1 causal-conv formulation: 'conv' lowers to one

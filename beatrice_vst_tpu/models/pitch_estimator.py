@@ -134,3 +134,28 @@ def apply(params, cfg: PitchEstimatorConfig, audio, state,
     if with_logits:
         return qp, features, new_state, logits
     return qp, features, new_state
+
+
+def expected_bin(logits, min_quantized_pitch=None, max_quantized_pitch=None,
+                 *, pitch_bins: int):
+    """Softmax expectation over the clamp-masked bin logits -> [B, T] f32.
+
+    The soft (differentiable) counterpart of the argmax above, used by
+    chain.apply(soft_pitch=True): conditioning the vocoder on E[bin]
+    instead of argmax lets waveform losses shape the pitch logits during
+    training (the argmax blocks all gradient flow), and removes the
+    discrete bin-disagreement discontinuity that limits teacher-student
+    behavioral parity (docs/DISTILL_PARITY_REPORT.json limiting_factor).
+    Uses the same min/max clamp mask as the argmax so both modes restrict
+    to the identical bin span (SetMin/MaxQuantizedPitch semantics).
+    """
+    bins = jnp.arange(logits.shape[-1])
+    if min_quantized_pitch is None:
+        min_quantized_pitch = jnp.asarray(1)
+    if max_quantized_pitch is None:
+        max_quantized_pitch = jnp.asarray(pitch_bins - 1)
+    lo = jnp.asarray(min_quantized_pitch)[..., None, None]
+    hi = jnp.asarray(max_quantized_pitch)[..., None, None]
+    masked = jnp.where((bins >= lo) & (bins <= hi), logits, -jnp.inf)
+    probs = jax.nn.softmax(masked, axis=-1)
+    return jnp.sum(probs * bins.astype(jnp.float32), axis=-1)

@@ -315,7 +315,7 @@ def project_kv(params, cfg: WaveformGeneratorConfig, kv_embedding,
 def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
           pitch_features, speaker_embedding, state, kv_embedding=None,
           kv_cache=None, compute_dtype=None, kv_bank=None, kv_slot=None,
-          t_index=None):
+          t_index=None, soft_pitch: bool = False):
     """Generate audio for a chunk of frames.
 
     Args:
@@ -332,16 +332,29 @@ def apply(params, cfg: WaveformGeneratorConfig, phone, quantized_pitch,
     Returns (audio [B, T*240] float32 in [-1, 1], new_state).
     """
     b, t = quantized_pitch.shape
-    qp = jnp.clip(quantized_pitch, 0, cfg.pitch_bins - 1)
     pe = params["pitch_emb"]
     if compute_dtype is not None:
         # cast the [bins, hidden] table BEFORE the gather so the residual
         # stream assembles fully in the compute dtype (an f32 term here
         # would promote every residual add back to f32 width)
         pe = pe.astype(compute_dtype)
+    if soft_pitch:
+        # continuous (float) bin from chain.apply(soft_pitch=True): the
+        # pitch embedding is linearly interpolated between the bracketing
+        # rows, so the vocoder conditioning is differentiable in the bin
+        # value (and exactly equals the gather at integral bins)
+        qp = jnp.clip(quantized_pitch.astype(jnp.float32), 0.0,
+                      float(cfg.pitch_bins - 1))
+        i0 = jnp.floor(qp).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, cfg.pitch_bins - 1)
+        frac = (qp - i0.astype(jnp.float32))[..., None].astype(pe.dtype)
+        pitch_term = pe[i0] * (1.0 - frac) + pe[i1] * frac
+    else:
+        qp = jnp.clip(quantized_pitch, 0, cfg.pitch_bins - 1)
+        pitch_term = pe[qp]
     h = (
         layers.linear(params["phone_in"], phone, compute_dtype)
-        + pe[qp]
+        + pitch_term
         + layers.linear(params["feat_in"], pitch_features, compute_dtype)
     )
     spk = speaker_embedding

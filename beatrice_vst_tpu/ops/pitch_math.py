@@ -58,6 +58,7 @@ def transform_pitch(
     pitch_correction,
     pitch_correction_type,
     pitch_bins: int,
+    round_output: bool = True,
 ):
     """Full per-frame pitch transform -> int32 quantized pitch.
 
@@ -82,6 +83,11 @@ def transform_pitch(
     c1 = pitch_correction_type1(tmp, pitch_correction)
     corrected = jnp.where(pitch_correction_type == 0, c0, c1)
     tmp = jnp.where(pitch_correction != 0.0, corrected, tmp)
+    if not round_output:
+        # soft-pitch path: keep the transformed bin continuous (float32)
+        # so gradients flow through the expectation over bin logits into
+        # the vocoder's source (see chain.apply soft_pitch)
+        return jnp.clip(tmp, 1.0, float(pitch_bins - 1))
     return jnp.clip(jnp.round(tmp), 1, pitch_bins - 1).astype(jnp.int32)
 
 

@@ -130,7 +130,10 @@ def phone_forward(p, cfg, audio):
     return linear(p["out"], layer_norm(p["out_ln"], h))
 
 
-def pitch_forward(p, cfg, audio, min_q=1, max_q=None):
+def pitch_forward(p, cfg, audio, min_q=1, max_q=None, soft=False):
+    """soft=True returns the softmax expectation over the masked bin
+    logits (float bins) instead of the argmax -- the oracle counterpart
+    of chain.apply(soft_pitch=True) / pitch_estimator.expected_bin."""
     max_q = max_q if max_q is not None else cfg.pitch.pitch_bins - 1
     mel = logmel(audio, cfg.pitch.win, cfg.pitch.n_mels, 4000.0)
     h = linear(p["prenet"], mel)
@@ -141,6 +144,10 @@ def pitch_forward(p, cfg, audio, min_q=1, max_q=None):
     feats = linear(p["features"], h)
     bins = np.arange(cfg.pitch.pitch_bins)
     masked = np.where((bins >= min_q) & (bins <= max_q), logits, -np.inf)
+    if soft:
+        e = np.exp(masked - masked.max(axis=-1, keepdims=True))
+        probs = e / e.sum(axis=-1, keepdims=True)
+        return (probs * bins).sum(axis=-1), feats
     return masked.argmax(axis=-1), feats
 
 
@@ -156,7 +163,8 @@ def vq_knn(phone, codebook, n):
     return out
 
 
-def transform_pitch(q, avg, inton, shift, corr, ctype, bins):
+def transform_pitch(q, avg, inton, shift, corr, ctype, bins,
+                    round_output=True):
     bps = PITCH_BINS_PER_SEMITONE
     tmp = avg + (q.astype(np.float64) - avg) * inton + bps * shift
     if corr != 0.0:
@@ -176,6 +184,8 @@ def transform_pitch(q, avg, inton, shift, corr, ctype, bins):
                 tmp = nearest + np.sign(delta) * np.abs(delta) ** (
                     1.0 / (1.0 - corr)
                 ) * (bps / 2.0)
+    if not round_output:
+        return np.clip(tmp, 1.0, float(bins - 1))
     return np.clip(np.round(tmp), 1, bins - 1).astype(np.int64)
 
 
@@ -191,7 +201,16 @@ def waveform_forward(p, cfg, phone, qp, feats, spk, kv=None,
     wcfg = cfg.wg
     t = len(qp)
     qp = np.clip(qp, 0, wcfg.pitch_bins - 1)
-    h = linear(p["phone_in"], phone) + p["pitch_emb"][qp] + linear(p["feat_in"], feats)
+    if np.issubdtype(np.asarray(qp).dtype, np.floating):
+        # soft-pitch mode: linear interpolation between bracketing
+        # embedding rows (equals the gather at integral bins)
+        i0 = np.floor(qp).astype(np.int64)
+        i1 = np.minimum(i0 + 1, wcfg.pitch_bins - 1)
+        frac = (qp - i0)[:, None]
+        pitch_term = p["pitch_emb"][i0] * (1.0 - frac) + p["pitch_emb"][i1] * frac
+    else:
+        pitch_term = p["pitch_emb"][qp]
+    h = linear(p["phone_in"], phone) + pitch_term + linear(p["feat_in"], feats)
     h = h + linear(p["spk_in"], spk)[None, :]
     for blk in p["blocks"]:
         h = conv_block(blk["conv"], h, 1)
@@ -414,7 +433,7 @@ def vq_knn_per_frame(phone, codebook_bank, idx, n):
 
 
 def chain_forward(params, cfg, audio16, *, target_settings=None,
-                  phase_start=None):
+                  phase_start=None, soft_pitch=False):
     """Full offline forward for ONE stream: [T*160] @16k -> [T*240] @24k.
 
     target_settings: dict with speaker_embedding [256], kv [384,128],
@@ -440,6 +459,7 @@ def chain_forward(params, cfg, audio16, *, target_settings=None,
     qp_raw, feats = pitch_forward(
         p["pitch"], cfg, np.asarray(audio16, np.float64),
         int(s.get("min_q", 1)), int(s.get("max_q", spec.pitch_bins - 1)),
+        soft=soft_pitch,
     )
     qp = transform_pitch(
         qp_raw,
@@ -449,6 +469,7 @@ def chain_forward(params, cfg, audio16, *, target_settings=None,
         float(s.get("pitch_correction", 0.0)),
         int(s.get("pitch_correction_type", 0)),
         spec.pitch_bins,
+        round_output=not soft_pitch,
     )
     kv = np.asarray(s["kv"], np.float64) if spec.has_kv else None
     spk = np.asarray(s.get("speaker_embedding", np.zeros(256)), np.float64)

@@ -37,6 +37,10 @@ class ConversionSettings:
     max_source_pitch: float = 80.875
     vq_num_neighbors: int = 0
     morph_weights: np.ndarray | None = None  # dense [n_speakers] -> morph mode
+    # condition the vocoder on E[bin] over the pitch logits instead of the
+    # argmax (chain.apply soft_pitch) -- the training-time configuration,
+    # also usable at inference; default off = reference-parity argmax
+    soft_pitch: bool = False
 
 
 def build_cond(cfg: VoiceConverterConfig, bank, settings: ConversionSettings,
@@ -102,12 +106,14 @@ def build_cond(cfg: VoiceConverterConfig, bank, settings: ConversionSettings,
 
 
 @functools.cache
-def _jitted_apply(cfg: VoiceConverterConfig, compute_dtype):
+def _jitted_apply(cfg: VoiceConverterConfig, compute_dtype,
+                  soft_pitch: bool = False):
     """Cached jit of the chain forward (eager op-by-op execution is
     catastrophic on remote backends -- one dispatch per op)."""
     return jax.jit(
         lambda params, audio16, state, cond: chain.apply(
-            params, cfg, audio16, state, cond, compute_dtype=compute_dtype
+            params, cfg, audio16, state, cond, compute_dtype=compute_dtype,
+            soft_pitch=soft_pitch,
         )
     )
 
@@ -163,14 +169,15 @@ def convert_utterance(params, cfg: VoiceConverterConfig, bank, audio,
         if n_pad_frames:
             x16 = jnp.pad(x16, ((0, 0), (0, n_pad_frames * IN_HOP_LENGTH)))
         parts = []
-        fn = _jitted_apply(cfg, compute_dtype)
+        fn = _jitted_apply(cfg, compute_dtype, settings.soft_pitch)
         for c in range(x16.shape[-1] // (chunk_frames * IN_HOP_LENGTH)):
             seg = x16[:, c * chunk_frames * IN_HOP_LENGTH:(c + 1) * chunk_frames * IN_HOP_LENGTH]
             y_seg, state = fn(params, seg, state, cond)
             parts.append(y_seg)
         y24 = jnp.concatenate(parts, axis=-1)[:, : t * OUT_HOP_LENGTH]
     else:
-        y24, _ = _jitted_apply(cfg, compute_dtype)(params, x16, state, cond)
+        y24, _ = _jitted_apply(cfg, compute_dtype, settings.soft_pitch)(
+            params, x16, state, cond)
 
     if out_sample_rate != 24000:
         rs_out = make_resampler(24000, out_sample_rate, _block_for(24000, out_sample_rate))

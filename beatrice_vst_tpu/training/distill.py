@@ -84,7 +84,8 @@ def pitch_supervision_losses(taps, f0_bin):
 
 
 def distillation_loss(params, cfg, audio16, target24, cond, state=None,
-                      f0_bin=None, f0_weight: float = 1.0):
+                      f0_bin=None, f0_weight: float = 1.0,
+                      soft_pitch: bool = False):
     """Forward the chain and score against the target 24 kHz waveform.
 
     f0_bin: optional [B, T] int32 ground-truth quantized-pitch bins
@@ -95,15 +96,22 @@ def distillation_loss(params, cfg, audio16, target24, cond, state=None,
     ~800 cents F0 RMSE after 5k unsupervised steps on the synthetic
     corpus).  Real VC training uses a pitch tracker's output exactly
     this way.
+
+    soft_pitch=True trains with the vocoder conditioned on E[bin] over
+    the pitch logits (chain.apply soft_pitch): waveform losses then
+    backpropagate into the pitch estimator (the argmax blocks them), so
+    the STFT/L1 objectives refine sub-bin pitch and harmonicity on top of
+    the CE anchor.
     """
     if state is None:
         state = chain.init_state(cfg, (audio16.shape[0],))
     if f0_bin is None:
-        pred, _ = chain.apply(params, cfg, audio16, state, cond)
+        pred, _ = chain.apply(params, cfg, audio16, state, cond,
+                              soft_pitch=soft_pitch)
         aux = {}
     else:
         pred, _, taps = chain.apply(params, cfg, audio16, state, cond,
-                                    with_taps=True)
+                                    with_taps=True, soft_pitch=soft_pitch)
         l_f0, l_voice = pitch_supervision_losses(taps, f0_bin)
         aux = {"f0": l_f0, "voice": l_voice}
     l_stft = multi_resolution_stft_loss(pred, target24)
@@ -118,14 +126,16 @@ def make_optimizer(lr: float = 2e-4, weight_decay: float = 1e-2):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "optimizer", "f0_weight"))
+                   static_argnames=("cfg", "optimizer", "f0_weight",
+                                    "soft_pitch"))
 def train_step(params, opt_state, batch, *, cfg, optimizer,
-               f0_weight: float = 1.0):
+               f0_weight: float = 1.0, soft_pitch: bool = False):
     """One distillation step.  batch: {audio16 [B, T*160], target24
     [B, T*240], cond: chain cond dict[, f0_bin [B, T] int32]}."""
     (loss, aux), grads = jax.value_and_grad(distillation_loss, has_aux=True)(
         params, cfg, batch["audio16"], batch["target24"], batch["cond"],
         f0_bin=batch.get("f0_bin"), f0_weight=f0_weight,
+        soft_pitch=soft_pitch,
     )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

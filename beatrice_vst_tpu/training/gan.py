@@ -30,11 +30,12 @@ LAMBDA_F0 = 15.0  # matches LAMBDA_REC * the distill step's f0_weight=1
 
 
 def _generate(gen_params, cfg, batch, compute_dtype=None,
-              with_taps: bool = False):
+              with_taps: bool = False, soft_pitch: bool = False):
     state = chain.init_state(cfg, (batch["audio16"].shape[0],))
     out = chain.apply(
         gen_params, cfg, batch["audio16"], state, batch["cond"],
         compute_dtype=compute_dtype, with_taps=with_taps,
+        soft_pitch=soft_pitch,
     )
     return (out[0], out[2]) if with_taps else out[0]
 
@@ -48,19 +49,21 @@ def disc_loss(disc_params, real, fake):
     return loss / len(outs_real)
 
 
-def gen_loss(gen_params, disc_params, cfg, batch, compute_dtype=None):
+def gen_loss(gen_params, disc_params, cfg, batch, compute_dtype=None,
+             soft_pitch: bool = False):
     f0_bin = batch.get("f0_bin")
     if f0_bin is not None:
         # keep the pitch anchor during adversarial polish: without it the
         # GAN phase silently un-trains the estimator/voicing gate (the
         # critics score waveform realism, not prosody fidelity)
         pred, taps = _generate(gen_params, cfg, batch, compute_dtype,
-                               with_taps=True)
+                               with_taps=True, soft_pitch=soft_pitch)
         from .distill import pitch_supervision_losses
 
         l_f0, l_voice = pitch_supervision_losses(taps, f0_bin)
     else:
-        pred = _generate(gen_params, cfg, batch, compute_dtype)
+        pred = _generate(gen_params, cfg, batch, compute_dtype,
+                         soft_pitch=soft_pitch)
         l_f0 = l_voice = 0.0
     target = batch["target24"]
     l_rec = multi_resolution_stft_loss(pred, target) + jnp.mean(
@@ -93,15 +96,18 @@ def make_gan_optimizers(lr: float = 2e-4, b1: float = 0.8, b2: float = 0.99):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "gen_opt", "disc_opt", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "gen_opt", "disc_opt", "compute_dtype",
+                              "soft_pitch")
 )
 def gan_train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
-                   batch, *, cfg, gen_opt, disc_opt, compute_dtype=None):
+                   batch, *, cfg, gen_opt, disc_opt, compute_dtype=None,
+                   soft_pitch: bool = False):
     """One D step then one G step on the same batch.
 
     batch: {audio16 [B, T*160], target24 [B, T*240], cond} — identical to
     the distillation batch contract."""
-    fake = _generate(gen_params, cfg, batch, compute_dtype)
+    fake = _generate(gen_params, cfg, batch, compute_dtype,
+                     soft_pitch=soft_pitch)
     d_loss, d_grads = jax.value_and_grad(disc_loss)(
         disc_params, batch["target24"], fake
     )
@@ -111,7 +117,7 @@ def gan_train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
     disc_params = optax.apply_updates(disc_params, d_updates)
 
     (g_loss, aux), g_grads = jax.value_and_grad(gen_loss, has_aux=True)(
-        gen_params, disc_params, cfg, batch, compute_dtype
+        gen_params, disc_params, cfg, batch, compute_dtype, soft_pitch
     )
     g_updates, gen_opt_state = gen_opt.update(
         g_grads, gen_opt_state, gen_params

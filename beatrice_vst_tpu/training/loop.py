@@ -57,7 +57,7 @@ def make_teacher_batcher(cfg, teacher_params, bank, *, batch: int, frames: int,
 def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
           log_every: int = 10, log_fn=print, ckpt_dir: str | None = None,
           save_every: int = 500, resume: bool = False,
-          f0_weight: float = 1.0):
+          f0_weight: float = 1.0, soft_pitch: bool = False):
     """Run `steps` of distillation; returns (params, history).
 
     With `ckpt_dir`, the full training pytree (params + optimizer state +
@@ -79,7 +79,7 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
     for step, batch in zip(range(start, steps), batches):
         params, opt_state, metrics = train_step(
             params, opt_state, batch, cfg=cfg, optimizer=optimizer,
-            f0_weight=f0_weight,
+            f0_weight=f0_weight, soft_pitch=soft_pitch,
         )
         if step % 200 == 0:
             import gc
@@ -107,7 +107,8 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
 def train_gan(params, cfg, batches, *, steps: int, lr: float = 2e-4,
               seed: int = 0, log_every: int = 10, log_fn=print,
               ckpt_dir: str | None = None, save_every: int = 500,
-              resume: bool = False, compute_dtype=None):
+              resume: bool = False, compute_dtype=None,
+              soft_pitch: bool = False):
     """Adversarial training (MPD+MRD least-squares GAN + feature matching
     on top of the reconstruction objective).  Returns (params, history);
     discriminators live only in the checkpoint."""
@@ -133,7 +134,7 @@ def train_gan(params, cfg, batches, *, steps: int, lr: float = 2e-4,
          metrics) = gan_train_step(
             params, disc_params, gen_opt_state, disc_opt_state, batch,
             cfg=cfg, gen_opt=gen_opt, disc_opt=disc_opt,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, soft_pitch=soft_pitch,
         )
         if step % log_every == 0 or step == steps - 1:
             g = float(metrics["g_loss"])

@@ -91,9 +91,12 @@ def mcd_db(x: np.ndarray, y: np.ndarray, sr: int,
                  * np.mean(np.sqrt(2.0 * (d ** 2).sum(-1))))
 
 
-def f0_track(x: np.ndarray, sr: int, fmin: float = 70.0, fmax: float = 420.0,
+def f0_track(x: np.ndarray, sr: int, fmin: float = 60.0, fmax: float = 460.0,
              clarity: float = 0.5):
-    """Autocorrelation F0 per 40 ms window / 10 ms hop -> (f0 Hz, voiced mask)."""
+    """Autocorrelation F0 per 40 ms window / 10 ms hop -> (f0 Hz, voiced mask).
+
+    The search band covers the F0-augmented corpus registers
+    (training/synthesis.py f0_scale_range: ~62-400 Hz instantaneous)."""
     seg = _frames(x, sr, 0.040, 0.010)
     seg = seg - seg.mean(-1, keepdims=True)
     n = seg.shape[1]

@@ -94,12 +94,23 @@ def default_speakers(n: int = 8) -> list[SpeakerSpec]:
 
 
 def sample_utterance(rng: np.random.Generator, min_syllables: int = 6,
-                     max_syllables: int = 11):
+                     max_syllables: int = 11,
+                     f0_scale_range: tuple = (0.6, 1.8)):
     """Random CV-syllable utterance plan: [(phone, frames)] + F0 contour.
 
     Returns (segments, f0_frames): segments is a list of (phone, n_frames);
     f0_frames is the shared per-frame F0 in Hz (0 in pauses is fine -- the
     voicing amplitude gates it).
+
+    f0_scale_range: per-utterance register augmentation -- a log-uniform
+    scale on the 120-180 Hz base band, so the corpus spans ~72-324 Hz
+    base registers (with contour accents: ~62-400 Hz instantaneous).
+    The r3 OOD study showed the model breaks outside the training band
+    (unseen-F0 x1.6 row: 635 cents; docs/PITCH_DIAGNOSIS.json) while the
+    reference's pitch contract spans its whole bin range
+    (/root/reference/include/beatrice/beatrice.h:12,24) -- wide-register
+    coverage in training is the fix.  Pass (1.0, 1.0) for the legacy
+    fixed band.
     """
     segs: list[tuple[str, int]] = [("_", int(rng.integers(4, 8)))]
     n_syll = int(rng.integers(min_syllables, max_syllables + 1))
@@ -120,8 +131,11 @@ def sample_utterance(rng: np.random.Generator, min_syllables: int = 6,
     segs.append(("_", int(rng.integers(4, 8))))
 
     n_frames = sum(n for _, n in segs)
-    # F0: declination + per-syllable accents + slow vibrato. 110-220 Hz band.
-    base = rng.uniform(120.0, 180.0)
+    # F0: declination + per-syllable accents + slow vibrato. 110-220 Hz band
+    # scaled by the per-utterance register augmentation.
+    lo, hi = f0_scale_range
+    scale = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    base = rng.uniform(120.0, 180.0) * scale
     t = np.arange(n_frames) / n_frames
     f0 = base * (1.06 - 0.18 * t)
     n_acc = max(2, n_syll // 2)

@@ -27,11 +27,12 @@ import time
 
 import numpy as np
 
-# Ladder picked from docs/BENCH_AB_R3.json (merged mel ring, r3): 19456
-# is the safe rung (9.209 ms), 19968 the measured headline (9.367 ms),
-# 20480 the stretch attempt (9.495/9.500/9.516 across samples, right at
-# the 9.5 ms gate).  20224 is deliberately absent: a bad tiling point
-# (9.782 ms, slower than 20480).
+# Ladder picked from the r3 sweeps: 19456 is the safe rung (9.19 ms in
+# the committed BENCH_r03.json), 19968 the headline (9.42 ms there;
+# 9.367 in a docs/BENCH_AB_R3.json sample), 20480 the stretch attempt
+# (9.61 in the sweep, best sample 9.495 -- right at the 9.5 ms gate).
+# 20224 is deliberately absent: a bad tiling point (9.782 ms, slower
+# than 20480).
 CAPACITIES = tuple(
     int(c) for c in os.environ.get("BENCH_CAPACITIES", "19456,19968,20480").split(",")
 )

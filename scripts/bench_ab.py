@@ -7,7 +7,8 @@ by toggling the knobs that the engine reads at build time
 _ring_layout_formats during StreamEngine construction).
 
 Usage: python scripts/bench_ab.py [capacity ...]   (default 19456 20480)
-Writes docs/BENCH_AB_R2.json and prints one JSON line per config.
+Merges into docs/BENCH_AB_R3.json (existing rows from other A/B drivers
+are preserved) and prints one JSON line per config.
 """
 
 import json
@@ -44,6 +45,12 @@ def measure(capacity, src_mode, bmajor_pin, merged_ring="1"):
     wg._SRC_MODE = src_mode
     os.environ["BEATRICE_BMAJOR_PIN"] = bmajor_pin
     os.environ["BEATRICE_MERGED_MEL_RING"] = merged_ring
+    # any BEATRICE_* env knob set by the caller must invalidate the
+    # lru-cached readers, or this row silently re-measures the previous
+    # config (ADVICE r3: the ring_dus_select@20480 row was exactly this)
+    from beatrice_vst_tpu.models import layers
+
+    layers.clear_env_knob_caches()
 
     cfg = EngineConfig.realtime(capacity, V20RC0, compute_dtype="bfloat16")
     params = chain.init(jax.random.PRNGKey(0), cfg.model)
@@ -74,7 +81,15 @@ def measure(capacity, src_mode, bmajor_pin, merged_ring="1"):
 def main():
     caps = [int(c) for c in sys.argv[1:]] or [19456, 20480]
     out_path = os.path.join(REPO, "docs", "BENCH_AB_R3.json")
+    # merge into the accumulated file (r3b/r3c rows back README/CLAUDE.md
+    # claims; starting from {} here used to discard them -- ADVICE r3)
     results = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                results = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            results = {}
     # incremental write + per-config fault isolation: a crash in one
     # config (or a dropped relay) must not discard the rows already
     # measured in this chip claim (learned the hard way in r3)

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--oracle-minutes", type=float, default=2.0)
     ap.add_argument("--chunk-frames", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--version", default="2.0.0-rc.0",
+                    help="model version spec (VERDICT r3 item 8: 20b1 "
+                         "joins the streaming gates via the CI smoke)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,8 @@ def main():
     import numpy as np
 
     from beatrice_vst_tpu import reference_impl as oracle
-    from beatrice_vst_tpu.constants import COMMON_HOP_LENGTH, V20RC0
+    from beatrice_vst_tpu.constants import (COMMON_HOP_LENGTH, V20RC0,
+                                            VERSIONS)
     from beatrice_vst_tpu.models import chain
     from beatrice_vst_tpu.runtime.engine import (EngineConfig, engine_tick,
                                                  init_engine_state,
@@ -65,7 +69,7 @@ def main():
     from beatrice_vst_tpu.speakers import bank as bank_mod
 
     n_frames = int(args.minutes * 60 * 100)
-    spec = V20RC0
+    spec = VERSIONS[args.version]
     model_cfg = chain.VoiceConverterConfig.for_version(spec)
     params = chain.init(jax.random.PRNGKey(args.seed), model_cfg)
     bank = bank_mod.random_bank(jax.random.PRNGKey(args.seed + 1), spec, 4)

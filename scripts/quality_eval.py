@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--corpus", default="/tmp/beatrice_corpus")
     ap.add_argument("--pairs-per-utt", type=int, default=6)
     ap.add_argument("--demo-wavs", type=int, default=3)
+    ap.add_argument("--soft-pitch-ab", dest="soft_ab", action="store_true",
+                    default=True,
+                    help="also convert every pair with the soft-pitch "
+                         "inference mode (ConversionSettings.soft_pitch) "
+                         "and report a converted_soft summary column")
+    ap.add_argument("--no-soft-pitch-ab", dest="soft_ab",
+                    action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +109,13 @@ def main():
                 "do_nothing": compare(src, ref, sr),
                 "rerender_floor": compare(floor, ref, sr),
             }
+            if args.soft_ab:
+                conv_soft = convert_utterance(
+                    params, model_cfg, bank, src, sr,
+                    ConversionSettings(target_speaker=t, soft_pitch=True),
+                    out_sample_rate=sr,
+                )
+                row["converted_soft"] = compare(conv_soft, ref, sr)
             rows.append(row)
             print(json.dumps(row), flush=True)
             if n_demo < args.demo_wavs:
@@ -118,10 +132,13 @@ def main():
                 if r[key][metric] is not None and np.isfinite(r[key][metric])]
         return round(float(np.mean(vals)), 3) if vals else None
 
+    keys = ["converted", "do_nothing", "rerender_floor"]
+    if args.soft_ab:
+        keys.insert(1, "converted_soft")
     summary = {
         k: {m: agg(k, m) for m in
             ("mcd_db", "f0_rmse_cents", "voicing_agreement", "lsd_db")}
-        for k in ("converted", "do_nothing", "rerender_floor")
+        for k in keys
     }
     summary["pairs_worse_than_do_nothing_mcd"] = int(sum(
         1 for r in rows
@@ -140,6 +157,20 @@ def main():
                  "metrics frame-aligned (no DTW)"),
     }
     out = os.path.join(REPO, "docs", "QUALITY_REPORT.json")
+    # MERGE into the existing report: sections owned by other tools (the
+    # "ood" section from scripts/ood_eval.py) must survive a re-eval.  The
+    # r3 end-of-round snapshot lost the executed OOD rows exactly because
+    # this function rewrote the whole file (VERDICT r3 "what's weak" #1).
+    existing = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                existing = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            existing = {}
+    for k, v in existing.items():
+        if k not in report:
+            report[k] = v
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"summary": summary}))

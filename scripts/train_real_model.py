@@ -39,6 +39,14 @@ def main():
                     help="weight on the pitch-bin CE + voicing BCE "
                          "(the r2 model at weight 1.0 still quadrupled "
                          "converted F0 error; see docs/PITCH_DIAGNOSIS.json)")
+    ap.add_argument("--soft-pitch", dest="soft_pitch", action="store_true",
+                    default=True,
+                    help="condition the vocoder on E[bin] over the pitch "
+                         "logits during training (chain.apply soft_pitch): "
+                         "waveform losses then backprop into the pitch "
+                         "estimator (default on since r4)")
+    ap.add_argument("--no-soft-pitch", dest="soft_pitch",
+                    action="store_false")
     ap.add_argument("--speakers", type=int, nargs="*", default=None,
                     help="train only on these speaker ids (OOD protocol: "
                          "hold out the rest; pairs touching held-out "
@@ -120,6 +128,7 @@ def main():
         params, model_cfg, batches, steps=args.steps, lr=args.lr,
         log_every=50, log_fn=log_fn, ckpt_dir=args.ckpt_dir,
         save_every=1000, resume=args.resume, f0_weight=args.f0_weight,
+        soft_pitch=args.soft_pitch,
     )
     distill_wall = time.time() - t0
 
@@ -130,7 +139,7 @@ def main():
             params, model_cfg, batches, steps=args.gan_steps,
             lr=args.lr * 0.5, seed=args.seed, log_every=50, log_fn=log_fn,
             ckpt_dir=args.ckpt_dir + "_gan", save_every=400,
-            resume=args.resume,
+            resume=args.resume, soft_pitch=args.soft_pitch,
         )
         gan_wall = time.time() - t1
     else:
@@ -143,6 +152,7 @@ def main():
         "batch": args.batch,
         "frames_per_example": args.frames,
         "f0_weight": args.f0_weight,
+        "soft_pitch": args.soft_pitch,
         "train_speakers": args.speakers,
         "distill": {
             "steps": args.steps,

@@ -14,7 +14,8 @@ from beatrice_vst_tpu.params.normalize import denormalize, normalize
 from beatrice_vst_tpu.params import SCHEMA, ParameterID
 
 
-def _run_pair(spec, settings_overrides=None, seed=0, t=12):
+def _run_pair(spec, settings_overrides=None, seed=0, t=12,
+              soft_pitch=False):
     cfg = VoiceConverterConfig.for_version(spec)
     params = chain.init(jax.random.PRNGKey(seed), cfg)
     rng = np.random.default_rng(seed)
@@ -39,7 +40,8 @@ def _run_pair(spec, settings_overrides=None, seed=0, t=12):
     settings.update(settings_overrides or {})
 
     # oracle (float64 numpy)
-    want = ref.chain_forward(params, cfg, audio, target_settings=settings)
+    want = ref.chain_forward(params, cfg, audio, target_settings=settings,
+                             soft_pitch=soft_pitch)
 
     # JAX chain (float32), batch of 1
     cond = {
@@ -58,7 +60,8 @@ def _run_pair(spec, settings_overrides=None, seed=0, t=12):
     if spec.has_vq:
         cond["codebook"] = jnp.asarray(settings["codebook"])[None]
     state = chain.init_state(cfg, (1,))
-    got, _ = chain.apply(params, cfg, jnp.asarray(audio)[None], state, cond)
+    got, _ = chain.apply(params, cfg, jnp.asarray(audio)[None], state, cond,
+                         soft_pitch=soft_pitch)
     return np.asarray(got)[0], want
 
 
@@ -66,6 +69,20 @@ def _run_pair(spec, settings_overrides=None, seed=0, t=12):
                          ids=["20a2", "20b1", "20rc0"])
 def test_chain_matches_numpy_oracle(spec):
     got, want = _run_pair(spec)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+@pytest.mark.parametrize("spec", [V20A2, V20B1, V20RC0],
+                         ids=["20a2", "20b1", "20rc0"])
+def test_chain_soft_pitch_matches_oracle(spec):
+    """soft_pitch mode (E[bin] conditioning, un-rounded transform,
+    interpolated pitch embedding) against the float64 oracle's soft path.
+    Random-init logits are nearly flat, so the expectation is a genuinely
+    wide mixture -- a strong test of the softmax/interp agreement.  Also
+    exercises the pitch transform un-rounded (shift + correction)."""
+    got, want = _run_pair(
+        spec, {"pitch_shift": 3.0, "intonation_intensity": 1.2},
+        seed=3, soft_pitch=True)
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 

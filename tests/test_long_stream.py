@@ -14,7 +14,9 @@ import pytest
 
 
 @pytest.mark.slow
-def test_long_stream_soak_smoke(tmp_path, monkeypatch):
+@pytest.mark.parametrize("version", ["2.0.0-rc.0", "2.0.0-beta.1"],
+                         ids=["20rc0", "20b1"])
+def test_long_stream_soak_smoke(tmp_path, monkeypatch, version):
     out = tmp_path / "docs"
     out.mkdir()
     # the script writes docs/LONG_STREAM_REPORT.json relative to its repo
@@ -31,7 +33,8 @@ def test_long_stream_soak_smoke(tmp_path, monkeypatch):
     shutil.copy(script, scratch / "long_stream_soak.py")
     monkeypatch.setattr(sys, "argv", [
         str(scratch / "long_stream_soak.py"), "--minutes", "0.1",
-        "--oracle-minutes", "0.1", "--chunk-frames", "100"])
+        "--oracle-minutes", "0.1", "--chunk-frames", "100",
+        "--version", version])
     with pytest.raises(SystemExit) as exc:
         runpy.run_path(str(scratch / "long_stream_soak.py"),
                        run_name="__main__")

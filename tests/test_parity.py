@@ -2,11 +2,12 @@
 
 import pytest
 
-from beatrice_vst_tpu.constants import V20A2, V20RC0
+from beatrice_vst_tpu.constants import V20A2, V20B1, V20RC0
 from beatrice_vst_tpu.parity import run_parity
 
 
-@pytest.mark.parametrize("spec", [V20A2, V20RC0], ids=["20a2", "20rc0"])
+@pytest.mark.parametrize("spec", [V20A2, V20B1, V20RC0],
+                         ids=["20a2", "20b1", "20rc0"])
 def test_streaming_matches_offline(spec):
     report = run_parity(spec=spec, n_frames=20, batch=2)
     assert report.passed, str(report)

@@ -141,3 +141,31 @@ def test_distillation_reduces_loss():
     assert np.isfinite(losses).all()
     # averaged late loss below early loss: learning is happening
     assert np.mean(losses[-3:]) < losses[0], losses
+
+
+def test_soft_pitch_training_flows_gradients_to_pitch_logits():
+    """soft_pitch=True must open a waveform-loss gradient path into the
+    pitch estimator's logits head (the argmax path blocks it: without
+    f0 supervision those grads are exactly zero)."""
+    from beatrice_vst_tpu.training.distill import distillation_loss
+
+    spec = V20A2
+    cfg = VoiceConverterConfig.for_version(spec)
+    params = chain.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    audio16 = jnp.asarray(rng.standard_normal((2, 8 * 160)) * 0.1,
+                          jnp.float32)
+    target24 = jnp.asarray(rng.standard_normal((2, 8 * 240)) * 0.1,
+                           jnp.float32)
+    cond = chain.default_cond(cfg, (2,))
+
+    def loss_fn(p, soft):
+        l, _ = distillation_loss(p, cfg, audio16, target24, cond,
+                                 soft_pitch=soft)
+        return l
+
+    g_hard = jax.grad(loss_fn)(params, False)
+    g_soft = jax.grad(loss_fn)(params, True)
+    gn = lambda g: float(jnp.abs(g["pitch"]["logits"]["w"]).max())
+    assert gn(g_hard) == 0.0, "argmax path should block waveform grads"
+    assert gn(g_soft) > 0.0, "soft path must pass waveform grads"
