@@ -121,7 +121,16 @@ def distillation_loss(params, cfg, audio16, target24, cond, state=None,
     return total, {"stft": l_stft, "l1": l_wav, **aux}
 
 
-def make_optimizer(lr: float = 2e-4, weight_decay: float = 1e-2):
+def make_optimizer(lr: float = 2e-4, weight_decay: float = 1e-2,
+                   total_steps: int | None = None, warmup: int = 500):
+    """AdamW; with total_steps, a linear-warmup cosine decay to 5% of
+    peak (the r3 flagship plateaued at ~1.8-2.0 under constant LR --
+    docs/TRAIN_R3_CPU_FINETUNE2.json -- the standard vocoder fix is a
+    decaying schedule)."""
+    if total_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, lr, min(warmup, total_steps // 10 + 1), total_steps,
+            end_value=0.05 * lr)
     return optax.adamw(lr, b1=0.9, b2=0.99, weight_decay=weight_decay)
 
 

@@ -57,7 +57,8 @@ def make_teacher_batcher(cfg, teacher_params, bank, *, batch: int, frames: int,
 def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
           log_every: int = 10, log_fn=print, ckpt_dir: str | None = None,
           save_every: int = 500, resume: bool = False,
-          f0_weight: float = 1.0, soft_pitch: bool = False):
+          f0_weight: float = 1.0, soft_pitch: bool = False,
+          lr_schedule: bool = False):
     """Run `steps` of distillation; returns (params, history).
 
     With `ckpt_dir`, the full training pytree (params + optimizer state +
@@ -65,7 +66,7 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
     `resume=True` continues from the latest checkpoint."""
     from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer(lr, total_steps=steps if lr_schedule else None)
     opt_state = optimizer.init(params)
     start = 0
     if resume and ckpt_dir and latest_step(ckpt_dir) is not None:

@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--lr-schedule", dest="lr_schedule",
+                    action="store_true", default=True,
+                    help="linear-warmup cosine decay over --steps "
+                         "(default on since r4: constant LR plateaued)")
+    ap.add_argument("--no-lr-schedule", dest="lr_schedule",
+                    action="store_false")
     ap.add_argument("--f0-weight", type=float, default=2.0,
                     help="weight on the pitch-bin CE + voicing BCE "
                          "(the r2 model at weight 1.0 still quadrupled "
@@ -128,7 +134,7 @@ def main():
         params, model_cfg, batches, steps=args.steps, lr=args.lr,
         log_every=50, log_fn=log_fn, ckpt_dir=args.ckpt_dir,
         save_every=1000, resume=args.resume, f0_weight=args.f0_weight,
-        soft_pitch=args.soft_pitch,
+        soft_pitch=args.soft_pitch, lr_schedule=args.lr_schedule,
     )
     distill_wall = time.time() - t0
 
@@ -153,6 +159,7 @@ def main():
         "frames_per_example": args.frames,
         "f0_weight": args.f0_weight,
         "soft_pitch": args.soft_pitch,
+        "lr_schedule": args.lr_schedule,
         "train_speakers": args.speakers,
         "distill": {
             "steps": args.steps,
