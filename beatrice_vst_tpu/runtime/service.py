@@ -84,6 +84,7 @@ class ModelHost:
         self.engine: StreamEngine | None = None
         self.server: StreamingServer | None = None
         self.model_config = None
+        self.model_dir: str | None = None  # portrait files resolve here
         self.sessions: dict[int, ClientSession] = {}
         self._next_id = 0
         self._lock = threading.Lock()
@@ -153,6 +154,7 @@ class ModelHost:
             self.engine = new_engine
             self.server = new_server
             self.model_config = config
+            self.model_dir = str(model_path)
             if initiator is not None:
                 initiator.proxy.parameter_state.set_value(
                     ParameterID.MODEL, str(model_path)
@@ -184,12 +186,58 @@ class ModelHost:
             "version": c.version,
             "voices": [
                 {"id": i, "name": v.name or f"voice {i}",
-                 "description": v.description}
+                 "description": v.description,
+                 # the reference editor loads each voice's portrait from
+                 # the model card (editor.cc:1005-1188); clients fetch
+                 # the bytes from GET /portrait/<id> when has_portrait
+                 "has_portrait": self._portrait_path(i) is not None,
+                 "portrait_description": v.portrait.description}
                 for i, v in enumerate(c.voices)
             ],
             "capacity": self.capacity,
             "frames_per_tick": self.frames_per_tick,
         }
+
+    def _portrait_path(self, voice_id: int) -> str | None:
+        """Resolve a voice's portrait file inside the model dir, or None.
+
+        The model card's portrait path resolves inside the model dir only
+        (a card is untrusted input -- ../ traversal must not escape, the
+        same stance as the NUL/URL scrubbing in model_config.py)."""
+        import os
+
+        c = self.model_config
+        if c is None or self.model_dir is None:
+            return None
+        if not (0 <= voice_id < len(c.voices)):
+            return None
+        rel = c.voices[voice_id].portrait.path
+        if not rel:
+            return None
+        base = os.path.realpath(self.model_dir)
+        full = os.path.realpath(os.path.join(base, rel))
+        if not full.startswith(base + os.sep) or not os.path.isfile(full):
+            return None
+        return full
+
+    def portrait_bytes(self, voice_id: int) -> tuple[bytes, str] | None:
+        """Portrait image for a voice -> (bytes, mime) or None.
+
+        The TPU-service analogue of the reference editor's portrait
+        loading (/root/reference/src/vst/editor.cc:1005-1188): the server
+        ships the original bytes and the client scales them (no server-
+        side resize -- browsers do it better)."""
+        import os
+
+        full = self._portrait_path(voice_id)
+        if full is None:
+            return None
+        ext = os.path.splitext(full)[1].lower()
+        mime = {".png": "image/png", ".jpg": "image/jpeg",
+                ".jpeg": "image/jpeg", ".webp": "image/webp",
+                ".gif": "image/gif"}.get(ext, "application/octet-stream")
+        with open(full, "rb") as f:
+            return f.read(), mime
 
     def stop(self):
         with self._lock:

@@ -170,6 +170,24 @@ def _serve_http(sock, lines, model_host=None) -> None:
             b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
             + f"Content-Length: {len(body)}\r\n".encode("ascii")
             + b"Connection: close\r\n\r\n" + body)
+    elif path.startswith("/portrait/") and model_host is not None:
+        # voice portrait bytes from the model card (the editor loads these
+        # from disk in the reference, editor.cc:1005-1188)
+        try:
+            vid = int(path[len("/portrait/"):])
+        except ValueError:
+            vid = -1
+        got = model_host.portrait_bytes(vid)
+        if got is None:
+            sock.sendall(b"HTTP/1.1 404 Not Found\r\nConnection: close\r\n\r\n")
+        else:
+            body, mime = got
+            sock.sendall(
+                b"HTTP/1.1 200 OK\r\n"
+                + f"Content-Type: {mime}\r\n".encode("ascii")
+                + f"Content-Length: {len(body)}\r\n".encode("ascii")
+                + b"Cache-Control: max-age=3600\r\n"
+                + b"Connection: close\r\n\r\n" + body)
     else:
         sock.sendall(b"HTTP/1.1 404 Not Found\r\nConnection: close\r\n\r\n")
 

@@ -24,11 +24,31 @@ from beatrice_vst_tpu.runtime import ModelHost
 from beatrice_vst_tpu.runtime.wsserver import WSClient, WSServer
 
 
+# smallest valid PNG (1x1 transparent pixel)
+PNG_BYTES = bytes.fromhex(
+    "89504e470d0a1a0a0000000d494844520000000100000001080600000"
+    "01f15c4890000000a49444154789c63000100000500010d0a2db40000"
+    "000049454e44ae426082")
+
+
 @pytest.fixture(scope="module")
 def host_and_addr(tmp_path_factory):
+    import os
+
     d = str(tmp_path_factory.mktemp("demo_model"))
     init_random_model_dir(d, version="2.0.0-rc.0", n_voices=4, seed=0,
                           name="demo-model")
+    # give voice 0 a portrait (model-card contract: path is relative to
+    # the model dir; served at GET /portrait/<id>)
+    os.makedirs(os.path.join(d, "portraits"), exist_ok=True)
+    with open(os.path.join(d, "portraits", "v0.png"), "wb") as f:
+        f.write(PNG_BYTES)
+    cfg_path = os.path.join(d, "config.toml")
+    text = open(cfg_path).read()
+    text = text.replace('[voice.0.portrait]\npath = ""',
+                        '[voice.0.portrait]\npath = "portraits/v0.png"', 1)
+    with open(cfg_path, "w") as f:
+        f.write(text)
     host = ModelHost(capacity=4, realtime=True, jit=False)
     assert host.load_model(d) == ErrorCode.SUCCESS
     srv = WSServer(("127.0.0.1", 0), host)
@@ -176,3 +196,45 @@ def test_page_file_conversion_sequence(host_and_addr):
     assert total >= n - 4800, f"got {total} of {n} samples back"
     assert all(np.isfinite(g).all() for g in got)
     c.close()
+
+
+def test_portrait_roundtrip(host_and_addr):
+    """Model-card portraits: /info flags them, /portrait/<id> serves the
+    exact bytes (editor.cc:1005-1188 analogue)."""
+    host, addr = host_and_addr
+    info = json.loads(_http_get(addr, "/info")[1])
+    assert info["voices"][0]["has_portrait"] is True
+    assert info["voices"][1]["has_portrait"] is False
+    head, body = _http_get(addr, "/portrait/0")
+    assert b"200 OK" in head and b"image/png" in head
+    assert body == PNG_BYTES
+    assert _http_get(addr, "/portrait/1")[0].startswith(b"HTTP/1.1 404")
+    assert _http_get(addr, "/portrait/999")[0].startswith(b"HTTP/1.1 404")
+    assert _http_get(addr, "/portrait/zzz")[0].startswith(b"HTTP/1.1 404")
+    # and the page actually uses the endpoint
+    page = _http_get(addr, "/")[1].decode()
+    assert "/portrait/" in page and "has_portrait" in page
+
+
+def test_portrait_traversal_rejected(tmp_path):
+    """A model card is untrusted input: a portrait path that escapes the
+    model dir must resolve to nothing."""
+    import os
+
+    d = str(tmp_path / "m")
+    init_random_model_dir(d, version="2.0.0-rc.0", n_voices=2, seed=0,
+                          name="traversal")
+    secret = tmp_path / "secret.png"
+    secret.write_bytes(PNG_BYTES)
+    cfg_path = os.path.join(d, "config.toml")
+    text = open(cfg_path).read().replace(
+        '[voice.0.portrait]\npath = ""',
+        '[voice.0.portrait]\npath = "../secret.png"', 1)
+    open(cfg_path, "w").write(text)
+    host = ModelHost(capacity=2, realtime=False, jit=False)
+    assert host.load_model(d) == ErrorCode.SUCCESS
+    try:
+        assert host.portrait_bytes(0) is None
+        assert host.describe()["voices"][0]["has_portrait"] is False
+    finally:
+        host.stop()
