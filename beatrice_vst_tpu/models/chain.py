@@ -91,12 +91,14 @@ def init_state(cfg: VoiceConverterConfig, batch_shape=(), dtype=jnp.float32,
                                             ring=ring),
     }
     if ring and merged_mel_ring_enabled():
+        from ..ops.frontend import ring_slot_stride
+
         state["phone"].pop("audio")
         state["pitch"].pop("audio")
         slots = max(cfg.phone.frontend.ring_slots,
                     cfg.pitch.frontend.ring_slots)
-        state["audio"] = jnp.zeros(
-            (*batch_shape, slots * cfg.phone.frontend.hop), dtype)
+        stride = ring_slot_stride(cfg.phone.frontend.hop)
+        state["audio"] = jnp.zeros((*batch_shape, slots * stride), dtype)
     return state
 
 
@@ -157,14 +159,15 @@ def apply(params, cfg: VoiceConverterConfig, audio16, state, cond,
         # merged audio ring: one DUS write per tick, then ONE fused
         # windowed-DFT matmul produces both front ends' mels (the column
         # blocks are the per-frontend products exactly)
-        from ..ops.frontend import dual_mel_read_ring
+        from ..ops.frontend import dual_mel_read_ring, ring_slot_stride
 
         hop = cfg.phone.frontend.hop
-        p_total = state["audio"].shape[-1] // hop
+        stride = ring_slot_stride(hop)
+        p_total = state["audio"].shape[-1] // stride
         phase = jnp.mod(jnp.asarray(t_index, jnp.int32), p_total)
         shared_ring = jax.lax.dynamic_update_slice_in_dim(
             state["audio"], audio16.astype(state["audio"].dtype),
-            phase * hop, axis=-1)
+            phase * stride, axis=-1)
         mel_phone, mel_pitch = dual_mel_read_ring(
             cfg.phone.frontend, cfg.pitch.frontend, shared_ring, t_index)
 

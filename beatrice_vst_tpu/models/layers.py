@@ -170,10 +170,13 @@ def clear_env_knob_caches():
     _ring_mode_for.cache_clear()
     _ring_min_r.cache_clear()
     _chunk_conv_mode.cache_clear()
+    from ..ops import frontend as _frontend
+
+    _frontend._ring_slot_stride_env.cache_clear()
     try:  # engine-side env-dependent caches (import cycle-safe)
         from ..runtime import engine as _engine
 
-        for name in ("_ring_layout_formats", "_stream_axes"):
+        for name in ("_ring_layout_formats", "_stream_axes", "_jitted_reset"):
             fn = getattr(_engine, name, None)
             if hasattr(fn, "cache_clear"):
                 fn.cache_clear()

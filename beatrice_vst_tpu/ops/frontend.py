@@ -28,6 +28,29 @@ def hann_window(win: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win) / win)
 
 
+@functools.lru_cache(maxsize=1)
+def _ring_slot_stride_env() -> int:
+    import os
+
+    return int(os.environ.get("BEATRICE_RING_SLOT_STRIDE", "0"))
+
+
+def ring_slot_stride(hop: int) -> int:
+    """Per-slot storage stride of the merged hop ring (>= hop).
+
+    Default: hop (dense slots, the r3 layout).  BEATRICE_RING_SLOT_STRIDE
+    =256 pads each slot so every tick's one-row DUS write starts at a
+    128-lane-aligned offset (docs/ROOFLINE.md named fat #4: the 160-
+    sample hop write straddles lane tiles).  The pad rows are never
+    written (stay zero) and the DFT bases carry zero rows there, so the
+    mels are exactly unchanged -- the cost is a wider ring read matmul
+    (L grows hop->stride per slot), the win is an aligned write.  On-chip
+    A/B decides the default.
+    """
+    s = _ring_slot_stride_env()
+    return max(s, hop) if s else hop
+
+
 @functools.lru_cache(maxsize=None)
 def real_dft_matrices(win: int) -> tuple[np.ndarray, np.ndarray]:
     """Cos/sin bases for an rFFT of length `win`: two [win, win//2+1] mats."""
@@ -122,14 +145,19 @@ class MelFrontend:
     def ring_len(self) -> int:
         return self.ring_slots * self.hop
 
-    def _ring_bases_for(self, p_total: int):
+    def _ring_bases_for(self, p_total: int, stride: int | None = None):
         """Time-ordered windowed-DFT bases over a p_total-slot hop ring
-        ([p_total, hop, bins] each).  p_total may EXCEED this front end's
-        own ring_slots (a shared ring sized for a larger window: the
-        merged phone+pitch audio ring) -- the extra leading slots are
-        zero rows, so the products are unchanged."""
+        ([p_total, stride, bins] each; stride defaults to hop).  p_total
+        may EXCEED this front end's own ring_slots (a shared ring sized
+        for a larger window: the merged phone+pitch audio ring) -- the
+        extra leading slots are zero rows, so the products are unchanged.
+        With stride > hop (lane-aligned slots, ring_slot_stride), rows
+        hop..stride-1 of every slot are zero: those ring positions are
+        never written."""
+        stride = stride or self.hop
         cache = self.__dict__.setdefault("_ring_bases_cache", {})
-        if p_total not in cache:
+        key = (p_total, stride)
+        if key not in cache:
             cos_np, sin_np, _ = self._consts_np
             rl = p_total * self.hop
             if rl < self.win:
@@ -139,9 +167,14 @@ class MelFrontend:
             base[rl - self.win:] = cos_np
             sbase = np.zeros((rl, nb), np.float32)
             sbase[rl - self.win:] = sin_np
-            cache[p_total] = (base.reshape(p_total, self.hop, nb),
-                              sbase.reshape(p_total, self.hop, nb))
-        return cache[p_total]
+            base = base.reshape(p_total, self.hop, nb)
+            sbase = sbase.reshape(p_total, self.hop, nb)
+            if stride != self.hop:
+                pad = ((0, 0), (0, stride - self.hop), (0, 0))
+                base = np.pad(base, pad)
+                sbase = np.pad(sbase, pad)
+            cache[key] = (base, sbase)
+        return cache[key]
 
     @functools.cached_property
     def _ring_bases(self):
@@ -187,8 +220,9 @@ class MelFrontend:
         this front end's own window (shared phone+pitch audio ring): the
         basis rows for slots older than the window are zero, so the
         products are identical to the dedicated-ring form."""
-        p_n = ring.shape[-1] // self.hop
-        cos_np, sin_np = self._ring_bases_for(p_n)  # [P, hop, nb]
+        stride = ring_slot_stride(self.hop)
+        p_n = ring.shape[-1] // stride
+        cos_np, sin_np = self._ring_bases_for(p_n, stride)  # [P, stride, nb]
         cos_b, sin_b = jnp.asarray(cos_np), jnp.asarray(sin_np)
         _, _, mel = self._consts
         phase = jnp.mod(jnp.asarray(pos, jnp.int32), p_n)
@@ -198,9 +232,9 @@ class MelFrontend:
             jnp.mod(jnp.arange(p_n) - phase - 1, p_n), p_n, dtype=cos_b.dtype
         )  # [Q, J]
         w_cos = jnp.einsum("qj,jhk->qhk", rot, cos_b).reshape(
-            p_n * self.hop, -1)
+            p_n * stride, -1)
         w_sin = jnp.einsum("qj,jhk->qhk", rot, sin_b).reshape(
-            p_n * self.hop, -1)
+            p_n * stride, -1)
         x = ring.astype(w_cos.dtype)
         re = x @ w_cos
         im = x @ w_sin
@@ -252,16 +286,17 @@ def dual_mel_read_ring(fe_a: MelFrontend, fe_b: MelFrontend, ring, pos):
     """
     assert fe_a.hop == fe_b.hop
     hop = fe_a.hop
-    p_n = ring.shape[-1] // hop
-    ca, sa = fe_a._ring_bases_for(p_n)
-    cb, sb = fe_b._ring_bases_for(p_n)
+    stride = ring_slot_stride(hop)
+    p_n = ring.shape[-1] // stride
+    ca, sa = fe_a._ring_bases_for(p_n, stride)
+    cb, sb = fe_b._ring_bases_for(p_n, stride)
     na, nb = ca.shape[-1], cb.shape[-1]
-    w_np = np.concatenate([ca, sa, cb, sb], axis=-1)  # [P, hop, 2na+2nb]
+    w_np = np.concatenate([ca, sa, cb, sb], axis=-1)  # [P, stride, 2na+2nb]
     w = jnp.asarray(w_np)
     phase = jnp.mod(jnp.asarray(pos, jnp.int32), p_n)
     rot = jax.nn.one_hot(
         jnp.mod(jnp.arange(p_n) - phase - 1, p_n), p_n, dtype=w.dtype)
-    w_rot = jnp.einsum("qj,jhk->qhk", rot, w).reshape(p_n * hop, -1)
+    w_rot = jnp.einsum("qj,jhk->qhk", rot, w).reshape(p_n * stride, -1)
     prod = ring.astype(w.dtype) @ w_rot
     re_a, im_a = prod[..., :na], prod[..., na:2 * na]
     re_b, im_b = prod[..., 2 * na:2 * na + nb], prod[..., 2 * na + nb:]

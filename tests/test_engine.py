@@ -171,3 +171,33 @@ def test_stream_axes_cache_survives_merged_ring_flip(monkeypatch):
             # the exact zip _ring_layout_formats performs: structures of
             # the live eval_shape and the cached axes tree must agree
             jax.tree_util.tree_map(lambda a, b: None, shapes[key], axes[key])
+
+
+def test_ring_slot_stride_exact(monkeypatch):
+    """Lane-aligned merged-ring slots (BEATRICE_RING_SLOT_STRIDE, ROOFLINE
+    fat #4) must be EXACTLY equivalent to the dense layout: pad rows are
+    never written and the DFT bases are zero there.  Runs the serving
+    (T=1 ring) path for enough ticks to wrap the ring in both layouts."""
+    from beatrice_vst_tpu.models import layers
+
+    spec = V20RC0
+    cfg = EngineConfig.realtime(2, spec).model
+    params = chain.init(jax.random.PRNGKey(0), cfg)
+    cond = chain.default_cond(cfg, (2,))
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.standard_normal((2, 160)) * 0.1, jnp.float32)
+              for _ in range(10)]
+
+    outs = {}
+    for stride in ("0", "256"):
+        monkeypatch.setenv("BEATRICE_RING_SLOT_STRIDE", stride)
+        layers.clear_env_knob_caches()
+        state = chain.init_state(cfg, (2,), ring=True)
+        assert "audio" in state
+        ys = []
+        for i, f in enumerate(frames):
+            y, state = chain.apply(params, cfg, f, state, cond, t_index=i)
+            ys.append(np.asarray(y))
+        outs[stride] = np.concatenate(ys, axis=-1)
+    layers.clear_env_knob_caches()
+    np.testing.assert_allclose(outs["256"], outs["0"], atol=2e-6)
