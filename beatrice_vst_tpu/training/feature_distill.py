@@ -155,3 +155,31 @@ def end_to_end_error(student_params, teacher_params, batch, *, cfg):
         "wg_only_wav_l1": jnp.mean(jnp.abs(wg_only - t["audio24"])),
         "teacher_bins_wav_l1": jnp.mean(jnp.abs(forced_bins - t["audio24"])),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def end_to_end_error_soft(student_params, teacher_params, batch, *, cfg):
+    """Student-vs-teacher waveform parity in the soft-pitch inference
+    mode (chain.apply soft_pitch=True) for BOTH chains.
+
+    The argmax-mode parity floor is dominated by discrete bin
+    disagreements (docs/DISTILL_PARITY_REPORT.json limiting_factor): a
+    single flipped bin shifts that frame's harmonic source by a whole
+    quantization step.  Under soft conditioning the same logit error
+    produces a proportionally small waveform error, so this measures the
+    achievable behavioral parity of the supported soft inference mode
+    (runtime/offline.py ConversionSettings.soft_pitch)."""
+    audio16, cond = batch["audio16"], batch["cond"]
+    b = audio16.shape[0]
+    t_state = chain.init_state(cfg, (b,))
+    t_audio, _, t = chain.apply(teacher_params, cfg, audio16, t_state, cond,
+                                with_taps=True, soft_pitch=True)
+    s_state = chain.init_state(cfg, (b,))
+    s_audio, _, s = chain.apply(student_params, cfg, audio16, s_state, cond,
+                                with_taps=True, soft_pitch=True)
+    return {
+        "wav_l1_soft": jnp.mean(jnp.abs(s_audio - t_audio)),
+        "wav_max_soft": jnp.max(jnp.abs(s_audio - t_audio)),
+        "qp_l1_bins_soft": jnp.mean(jnp.abs(
+            s["qp"].astype(jnp.float32) - t["qp"].astype(jnp.float32))),
+    }

@@ -100,6 +100,12 @@ def main():
     def e2e(tag):
         m = {k: float(v) for k, v in fd.end_to_end_error(
             student, teacher, eval_batch, cfg=cfg).items()}
+        # soft-pitch inference-mode parity (both chains soft): the
+        # discrete bin-flip floor does not exist in this supported mode
+        # (guarded: tolerate an older in-process feature_distill module)
+        if hasattr(fd, "end_to_end_error_soft"):
+            m.update({k: float(v) for k, v in fd.end_to_end_error_soft(
+                student, teacher, eval_batch, cfg=cfg).items()})
         print(tag, json.dumps(m), flush=True)
         return m
 
@@ -211,6 +217,17 @@ def main():
                 "descent, not architecture mismatch)"),
         },
     })
+    if "wav_l1_soft" in final:
+        # the bin-flip discontinuity does not exist in the soft-pitch
+        # inference mode -- report that mode's parity against the 0.02
+        # behavioral gate (VERDICT r3 item 4)
+        report["soft_mode"] = {
+            "wav_l1": final["wav_l1_soft"],
+            "wav_max": final["wav_max_soft"],
+            "qp_l1_bins": final["qp_l1_bins_soft"],
+            "gate": 0.02,
+            "gate_reached": bool(final["wav_l1_soft"] < 0.02),
+        }
     out = os.path.join(REPO, "docs", "DISTILL_PARITY_REPORT.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
