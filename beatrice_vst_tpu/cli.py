@@ -68,6 +68,7 @@ def cmd_convert(args):
         pitch_correction_type=args.pitch_correction_type,
         vq_num_neighbors=args.vq_neighbors,
         morph_weights=morph,
+        soft_pitch=getattr(args, "soft_pitch", False),
     )
     t0 = time.perf_counter()
     if getattr(args, "seq_parallel", 0):
@@ -178,6 +179,10 @@ def main(argv=None):
     pc.add_argument("--pitch-correction", type=float, default=0.0)
     pc.add_argument("--pitch-correction-type", type=int, default=0, choices=[0, 1])
     pc.add_argument("--vq-neighbors", type=int, default=0)
+    pc.add_argument("--soft-pitch", action="store_true",
+                    help="condition the vocoder on E[bin] over the pitch "
+                         "logits instead of the argmax (smooth sub-bin "
+                         "pitch; the r4 training-time configuration)")
     pc.add_argument("--output-rate", type=int, default=None)
     pc.add_argument("--dtype", default=None, choices=[None, "bfloat16"], nargs="?")
     pc.add_argument("--seq-parallel", type=int, default=0, metavar="N",

@@ -66,14 +66,25 @@ def chain_receptive_field_frames(cfg: VoiceConverterConfig) -> int:
 
 
 @functools.cache
-def _jitted_pitch_pass(cfg: VoiceConverterConfig, compute_dtype):
+def _jitted_pitch_pass(cfg: VoiceConverterConfig, compute_dtype,
+                       soft_pitch: bool = False):
     def pitch_pass(params, seg16, cond):
         n = seg16.shape[0]
         state = pitch_estimator.init_state(cfg.pitch, (n,))
-        qp_raw, _, _ = pitch_estimator.apply(
+        pe_out = pitch_estimator.apply(
             params["pitch"], cfg.pitch, seg16, state,
             cond["min_q"], cond["max_q"], compute_dtype,
+            with_logits=soft_pitch,
         )
+        if soft_pitch:
+            # mirror chain.apply(soft_pitch=True): expectation over the
+            # clamp-masked logits, un-rounded transform -- pass B
+            # integrates bitwise the same float-bin increments
+            qp_raw = pitch_estimator.expected_bin(
+                pe_out[3], cond["min_q"], cond["max_q"],
+                pitch_bins=cfg.spec.pitch_bins)
+        else:
+            qp_raw = pe_out[0]
         qp = transform_pitch(
             qp_raw,
             average_source_pitch=cond["average_source_pitch"][:, None],
@@ -82,6 +93,7 @@ def _jitted_pitch_pass(cfg: VoiceConverterConfig, compute_dtype):
             pitch_correction=cond["pitch_correction"][:, None],
             pitch_correction_type=cond["pitch_correction_type"][:, None],
             pitch_bins=cfg.spec.pitch_bins,
+            round_output=not soft_pitch,
         )
         # increments computed ON DEVICE with the vocoder's own f32 ops
         # (waveform_generator.frame_increments): the host prefix sum then
@@ -92,14 +104,16 @@ def _jitted_pitch_pass(cfg: VoiceConverterConfig, compute_dtype):
 
 
 @functools.cache
-def _jitted_chain_pass(cfg: VoiceConverterConfig, compute_dtype):
+def _jitted_chain_pass(cfg: VoiceConverterConfig, compute_dtype,
+                       soft_pitch: bool = False):
     def chain_pass(params, seg16, cond, phase0, counter0):
         n = seg16.shape[0]
         state = chain.init_state(cfg, (n,))
         state["wg"]["phase"] = phase0.astype(jnp.float32)
         state["wg"]["noise_counter"] = counter0.astype(jnp.uint32)
         y24, _ = chain.apply(params, cfg, seg16, state, cond,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             soft_pitch=soft_pitch)
         return y24
 
     return jax.jit(chain_pass)
@@ -184,13 +198,15 @@ def convert_utterance_sp(params, cfg: VoiceConverterConfig, bank, audio,
     zeros0 = jnp.zeros((b,), jnp.float32)
     if s == 1:
         # degenerate: one segment == the sequential program (no pass A)
-        y0 = _jitted_chain_pass(cfg, compute_dtype)(
+        y0 = _jitted_chain_pass(cfg, compute_dtype,
+                                settings.soft_pitch)(
             params, seg0, cond1, zeros0, zeros0
         )
         y24 = y0[:, : t_real * OUT_HOP_LENGTH]
     else:
         # ---- pass A: pitch only, per segment (exact for real frames) ----
-        pitch_pass = _jitted_pitch_pass(cfg, compute_dtype)
+        pitch_pass = _jitted_pitch_pass(cfg, compute_dtype,
+                                        settings.soft_pitch)
         inc0 = np.asarray(pitch_pass(params, seg0, cond1), np.float64)
         # ---- the one non-FIR carry: phase prefix on host (float64) ----
         inc_seg = np.asarray(pitch_pass(params, segs, cond),
@@ -217,7 +233,8 @@ def convert_utterance_sp(params, cfg: VoiceConverterConfig, bank, audio,
             counter0 = jax.device_put(counter0, sh)
 
         # ---- pass B: full chain per segment, warmup discarded ----
-        chain_pass = _jitted_chain_pass(cfg, compute_dtype)
+        chain_pass = _jitted_chain_pass(cfg, compute_dtype,
+                                        settings.soft_pitch)
         y0 = chain_pass(params, seg0, cond1, zeros0, zeros0)  # [B, F*240]
         y = chain_pass(params, segs, cond, phase0, counter0)
         y = y[:, w * OUT_HOP_LENGTH:]

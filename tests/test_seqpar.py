@@ -154,3 +154,20 @@ def test_seqpar_matches_float64_oracle():
     diff = np.abs(sp - want)
     assert np.max(diff) < 1.5e-3, np.max(diff)
     assert np.mean(diff < 1e-3) > 0.9999
+
+
+def test_seqpar_matches_sequential_soft_pitch(model):
+    """Soft-pitch mode through seqpar: pass A's expected-bin increments
+    must be bitwise the ones pass B integrates (same device f32 ops), so
+    the segmented result still matches the sequential program."""
+    cfg, params, bank = model
+    audio = _utterance(96, seed=3)
+    settings = ConversionSettings(target_speaker=1, pitch_shift=2.0,
+                                  soft_pitch=True)
+    ref = convert_utterance(params, cfg, bank, audio, 16000, settings,
+                            chunk_frames=0)
+    sp = convert_utterance_sp(params, cfg, bank, audio, 16000, settings,
+                              n_segments=4)
+    assert sp.shape == ref.shape
+    diff = np.max(np.abs(sp - ref))
+    assert diff < 1e-3, f"max diff {diff}"
