@@ -122,7 +122,7 @@ def train6():
 
     sys.argv = ["train_real_model.py",
                 "--steps", str(int(os.environ.get("R4_K6_STEPS", "10000"))),
-                "--gan-steps", "800",
+                "--gan-steps", str(int(os.environ.get("R4_K6_GAN", "800"))),
                 "--batch", str(int(os.environ.get("R4_BATCH", "32"))),
                 "--f0-weight", "2.0",
                 "--speakers", "0", "1", "2", "3", "4", "5",
@@ -144,7 +144,10 @@ def parity():
     import scripts.distill_parity as dp
 
     sys.argv = ["distill_parity.py", "--teacher", SHIPPED,
-                "--steps-per-module", "3000", "--e2e-steps", "1000"]
+                "--steps-per-module",
+                str(int(os.environ.get("R4_PARITY_STEPS", "3000"))),
+                "--e2e-steps",
+                str(int(os.environ.get("R4_PARITY_E2E", "1000")))]
     dp.main()
 
 
