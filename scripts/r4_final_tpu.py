@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CORPUS = "/tmp/beatrice_corpus"
-STAGING = os.path.join(REPO, "models_demo", "klatt8_r4")
+STAGING = os.environ.get("R4_STAGING",
+                         os.path.join(REPO, "models_demo", "klatt8_r4"))
 SHIPPED = os.path.join(REPO, "models_demo", "klatt8")
 
 
@@ -69,7 +70,9 @@ def train():
                 "--out", STAGING,
                 "--report", os.path.join(REPO, "docs",
                                          "TRAIN_R4_REPORT.json"),
-                "--ckpt-dir", "/tmp/beatrice_train_ckpt_r4", "--resume"]
+                "--ckpt-dir", os.environ.get("R4_CKPT",
+                                             "/tmp/beatrice_train_ckpt_r4"),
+                "--resume"]
     tr.main()
 
 
