@@ -32,20 +32,21 @@ def hann_window(win: int) -> np.ndarray:
 def _ring_slot_stride_env() -> int:
     import os
 
-    return int(os.environ.get("BEATRICE_RING_SLOT_STRIDE", "0"))
+    return int(os.environ.get("BEATRICE_RING_SLOT_STRIDE", "256"))
 
 
 def ring_slot_stride(hop: int) -> int:
     """Per-slot storage stride of the merged hop ring (>= hop).
 
-    Default: hop (dense slots, the r3 layout).  BEATRICE_RING_SLOT_STRIDE
-    =256 pads each slot so every tick's one-row DUS write starts at a
-    128-lane-aligned offset (docs/ROOFLINE.md named fat #4: the 160-
-    sample hop write straddles lane tiles).  The pad rows are never
-    written (stay zero) and the DFT bases carry zero rows there, so the
-    mels are exactly unchanged -- the cost is a wider ring read matmul
-    (L grows hop->stride per slot), the win is an aligned write.  On-chip
-    A/B decides the default.
+    Default 256 (lane-aligned slots): every tick's one-row DUS write
+    starts at a 128-lane-aligned offset (docs/ROOFLINE.md named fat #4:
+    the dense 160-sample hop write straddles lane tiles).  The pad rows
+    are never written (stay zero) and the DFT bases carry zero rows
+    there, so the mels are exactly unchanged -- the cost is a wider ring
+    read matmul (L grows hop->stride per slot), the win is the aligned
+    write.  On-chip A/B (docs/BENCH_AB_R4.json, v5e): 19968 9.500 ->
+    9.356 ms, 20480 9.60 -> 9.55-9.59 (never worse).
+    BEATRICE_RING_SLOT_STRIDE=0 restores the dense r3 layout.
     """
     s = _ring_slot_stride_env()
     return max(s, hop) if s else hop
