@@ -66,7 +66,7 @@ def train():
                 "--steps", str(int(os.environ.get("R4_STEPS", "24000"))),
                 "--gan-steps", str(int(os.environ.get("R4_GAN_STEPS", "2500"))),
                 "--batch", str(int(os.environ.get("R4_BATCH", "32"))),
-                "--f0-weight", "2.0",
+                "--f0-weight", os.environ.get("R4_F0W", "2.0"),
                 "--out", STAGING,
                 "--report", os.path.join(REPO, "docs",
                                          "TRAIN_R4_REPORT.json"),
