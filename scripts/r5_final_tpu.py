@@ -63,8 +63,14 @@ def phase(name, fn, est_s):
 def train():
     import scripts.train_real_model as tr
 
+    ckpt = "/tmp/beatrice_train_ckpt_r5"
     if not os.path.isdir(STAGING):
         shutil.copytree(SHIPPED, STAGING)
+        # a fresh burst must not resume from a PREVIOUS burst's
+        # checkpoints: with --steps already reached, train() would
+        # resume-and-skip and the burst silently becomes a no-op
+        # (happened on the second r5 burst)
+        shutil.rmtree(ckpt, ignore_errors=True)
     sys.argv = ["train_real_model.py",
                 "--steps", os.environ.get("R5_STEPS", "1500"),
                 "--gan-steps", os.environ.get("R5_GAN_STEPS", "300"),
@@ -73,7 +79,7 @@ def train():
                 "--out", STAGING,
                 "--report", os.path.join(REPO, "docs",
                                          "TRAIN_R5_REPORT.json"),
-                "--ckpt-dir", "/tmp/beatrice_train_ckpt_r5",
+                "--ckpt-dir", ckpt,
                 "--resume"]
     tr.main()
 
