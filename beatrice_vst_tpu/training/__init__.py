@@ -16,3 +16,4 @@ from .distill import (  # noqa: F401
 )
 from .gan import gan_train_step, make_gan_optimizers  # noqa: F401
 from .loop import make_teacher_batcher, train, train_gan  # noqa: F401
+from .quality import should_promote  # noqa: F401

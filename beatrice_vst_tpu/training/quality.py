@@ -168,3 +168,49 @@ def compare(converted: np.ndarray, target_ref: np.ndarray, sr: int) -> dict:
         "voicing_agreement": round(agree, 3),
         "lsd_db": round(lsd_db(converted, target_ref, sr), 3),
     }
+
+
+def should_promote(old_summary: dict, new_summary: dict, *,
+                   mcd_spread_db: float = 0.3,
+                   f0_regress_tol: float = 1.10) -> tuple[bool, str]:
+    """Multi-metric model-promotion rule (VERDICT r4 weak #2).
+
+    The r5 MCD-only gate could not accept the burst that won the round's
+    priority metric (F0 RMSE 507->424 cents at +0.11 dB MCD, within the
+    eval's pair-to-pair spread) -- and, symmetrically, would have accepted
+    a large F0 regression that shaved 0.1 dB MCD.  This encodes the rule
+    the round actually wanted:
+
+      promote iff  (a) clear MCD win  AND F0 not regressed by more than
+                       `f0_regress_tol` AND worse-than-do-nothing pair
+                       count not up,   or
+                   (b) MCD within `mcd_spread_db` of the incumbent AND
+                       F0 strictly better AND worse-pairs not up.
+
+    old_summary/new_summary: QUALITY_REPORT "summary" dicts (needs
+    converted.mcd_db, converted.f0_rmse_cents,
+    pairs_worse_than_do_nothing_mcd).  Returns (promote, reason).
+    """
+    try:
+        mcd_o = old_summary["converted"]["mcd_db"]
+        f0_o = old_summary["converted"]["f0_rmse_cents"]
+        mcd_n = new_summary["converted"]["mcd_db"]
+        f0_n = new_summary["converted"]["f0_rmse_cents"]
+    except (KeyError, TypeError):
+        return False, "summary missing converted metrics"
+    if None in (mcd_o, f0_o, mcd_n, f0_n):
+        return False, "non-finite metric (eval failure); keeping incumbent"
+    worse_o = old_summary.get("pairs_worse_than_do_nothing_mcd")
+    worse_n = new_summary.get("pairs_worse_than_do_nothing_mcd")
+    pairs_ok = worse_o is None or worse_n is None or worse_n <= worse_o
+    if not pairs_ok:
+        return False, (f"worse-than-do-nothing pairs up "
+                       f"{worse_o} -> {worse_n}")
+    if mcd_n < mcd_o and f0_n <= f0_o * f0_regress_tol:
+        return True, (f"MCD win {mcd_o:.3f} -> {mcd_n:.3f} dB, F0 "
+                      f"{f0_o:.1f} -> {f0_n:.1f} cents within tolerance")
+    if mcd_n <= mcd_o + mcd_spread_db and f0_n < f0_o:
+        return True, (f"F0 win {f0_o:.1f} -> {f0_n:.1f} cents, MCD "
+                      f"{mcd_o:.3f} -> {mcd_n:.3f} dB within spread")
+    return False, (f"no win: MCD {mcd_o:.3f} -> {mcd_n:.3f} dB, "
+                   f"F0 {f0_o:.1f} -> {f0_n:.1f} cents")

@@ -29,7 +29,11 @@ Reference analogue: the plugin's unbounded session lifetime
 (/root/reference/src/vst/processor.cc:103).
 
 Usage: python scripts/long_stream_soak.py [--minutes 10] [--oracle-minutes 2]
-Writes docs/LONG_STREAM_REPORT.json; exits nonzero on gate failure.
+Writes docs/LONG_STREAM_REPORT.json for the full-horizon (>= 10 min) run,
+docs/LONG_STREAM_REPORT_smoke.json for anything shorter (VERDICT r4 weak
+#1b: a 300-frame CI smoke silently overwrote the committed 10-minute
+artifact while the README kept citing it; scale-suffixed names make the
+clobber impossible).  Exits nonzero on gate failure.
 """
 
 import argparse
@@ -277,7 +281,9 @@ def main():
     report["gates"]["oracle_prefix_2e-3"] = bool(oracle_diff <= 2e-3)
     report["wall_s"] = round(time.time() - t0, 1)
 
-    out_path = os.path.join(REPO, "docs", "LONG_STREAM_REPORT.json")
+    name = ("LONG_STREAM_REPORT.json" if args.minutes >= 10.0
+            else "LONG_STREAM_REPORT_smoke.json")
+    out_path = os.path.join(REPO, "docs", name)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))

@@ -66,11 +66,15 @@ def train():
     ckpt = "/tmp/beatrice_train_ckpt_r5"
     if not os.path.isdir(STAGING):
         shutil.copytree(SHIPPED, STAGING)
-        # a fresh burst must not resume from a PREVIOUS burst's
-        # checkpoints: with --steps already reached, train() would
-        # resume-and-skip and the burst silently becomes a no-op
-        # (happened on the second r5 burst)
+    # a fresh burst must not resume from a PREVIOUS burst's checkpoints:
+    # with --steps already reached, train() would resume-and-skip and the
+    # burst silently becomes a no-op (happened on the second r5 burst,
+    # and AGAIN via the _gan dir + via the STAGING-left-for-inspection
+    # path -- ADVICE r4).  Purge is keyed on burst start, BOTH dirs,
+    # unless an explicit resume is requested.
+    if not os.environ.get("R5_RESUME"):
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt + "_gan", ignore_errors=True)
     sys.argv = ["train_real_model.py",
                 "--steps", os.environ.get("R5_STEPS", "1500"),
                 "--gan-steps", os.environ.get("R5_GAN_STEPS", "300"),

@@ -41,19 +41,29 @@ def phase(name, fn):
 def quality():
     import scripts.quality_eval as qe
 
+    rep_path = os.path.join(REPO, "docs", "QUALITY_REPORT.json")
+    # read the PRE-eval metrics as the promotion baseline before qe.main()
+    # overwrites the summary (ADVICE r4: the first version hardcoded the
+    # r5 numbers, so any later rerun stamped stale provenance)
+    with open(rep_path) as f:
+        old = json.load(f)
+    prev_mcd = old["summary"]["converted"]["mcd_db"]
+    prev_f0 = old["summary"]["converted"]["f0_rmse_cents"]
+    prev_promo = old.get("promotion")
+
     sys.argv = ["quality_eval.py",
                 "--model", os.path.join(REPO, "models_demo", "klatt8"),
                 "--pairs-per-utt", "6"]
     qe.main()
-    rep_path = os.path.join(REPO, "docs", "QUALITY_REPORT.json")
     with open(rep_path) as f:
         rep = json.load(f)
     rep["promotion"] = {
-        "previous_mcd_db": 19.667, "new_mcd_db": rep["summary"]["converted"]["mcd_db"],
-        "previous_f0_rmse_cents": 506.78,
+        "previous_mcd_db": prev_mcd,
+        "new_mcd_db": rep["summary"]["converted"]["mcd_db"],
+        "previous_f0_rmse_cents": prev_f0,
         "new_f0_rmse_cents": rep["summary"]["converted"]["f0_rmse_cents"],
-        "recipe": "r5 fine-tune burst (1500 distill + 300 GAN, f0-weight 4); "
-                  "promoted on the F0 metric (MCD within spread)"}
+        "recipe": (prev_promo or {}).get("recipe",
+                                         "re-eval of the shipped model")}
     with open(rep_path, "w") as f:
         json.dump(rep, f, indent=1)
 

