@@ -61,19 +61,29 @@ def pitch_loss(student_pitch_params, cfg, audio16, t_logits, t_feats, cond):
     # margins everywhere, and when teacher logits are diffuse the soft-CE
     # saturates at the teacher's own entropy (measured flat at ~log(bins)
     # in the r2 study, qp_match stuck at 0.873 with CE-dominant weights).
-    # An argmax-aware hinge pushes the teacher's winning bin to win by
-    # the same margin.
+    # Argmax agreement additionally gets two direct terms (VERDICT r4
+    # item 5: qp_match was the 1e-3 parity limiter at 0.41): a HARD CE on
+    # the teacher's winning bin (the tau->0 temperature limit -- the
+    # steepest argmax-agreement gradient there is) and a positive-margin
+    # hinge requiring every other bin to sit at least `delta` below the
+    # teacher's winner (so near-ties get pushed apart instead of left to
+    # flip on f32 noise).
     t_soft = jax.nn.softmax(t_logits, axis=-1)
     ce = -jnp.mean(jnp.sum(t_soft * jax.nn.log_softmax(logits, -1), -1))
     l_feat = jnp.mean((feats - t_feats) ** 2)
     l_logit = jnp.mean((logits - t_logits) ** 2)
     t_best = jnp.argmax(t_logits, axis=-1)  # [B, T]
+    log_p = jax.nn.log_softmax(logits, -1)
+    ce_hard = -jnp.mean(
+        jnp.take_along_axis(log_p, t_best[..., None], -1)[..., 0])
     s_at_best = jnp.take_along_axis(logits, t_best[..., None], -1)[..., 0]
-    # hinge: every other bin must sit below the teacher's winner by >= its
-    # own teacher margin (capped at 0 for the winner itself)
-    margin = jnp.maximum(logits - s_at_best[..., None], 0.0)
-    l_rank = jnp.mean(jnp.sum(margin, -1))
-    return l_logit + l_feat + 0.1 * ce + 0.1 * l_rank
+    # margin hinge: losers must trail the teacher's winner by >= delta
+    # (the winner's own term is exactly delta -- a constant offset with
+    # zero gradient contribution beyond the hinge cap)
+    delta = 1.0
+    margin = jnp.maximum(logits - s_at_best[..., None] + delta, 0.0)
+    l_rank = jnp.mean(jnp.sum(margin, -1) - delta)
+    return l_logit + l_feat + 0.1 * ce + 0.5 * ce_hard + 0.1 * l_rank
 
 
 def wg_loss(student_wg_params, cfg, taps, cond):

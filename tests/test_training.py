@@ -41,6 +41,55 @@ def test_discriminator_shapes_and_grads():
         assert len(feats) >= 3
 
 
+def test_pitch_conditioned_discriminator():
+    """PCD (VERDICT r4 item 1): joins the critic list when f0_bin is
+    given, and its conditioning channels actually separate
+    frequency-locked from detuned audio."""
+    from beatrice_vst_tpu.training import discriminator
+
+    d = discriminator.init(jax.random.PRNGKey(0))
+    assert "pcd" in d
+    rng = np.random.default_rng(0)
+    n = 8 * discriminator.PCD_SPF
+    audio = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+    f0_bin = jnp.asarray(
+        np.stack([np.full(8, 200, np.int32), np.zeros(8, np.int32)]))
+    outs = discriminator.apply(d, audio, f0_bin=f0_bin)
+    assert len(outs) == len(discriminator.MPD_PERIODS) + len(
+        discriminator.MRD_RESOLUTIONS) + 1
+    logits, feats = outs[-1]
+    assert logits.shape[0] == 2 and np.isfinite(np.asarray(logits)).all()
+    assert len(feats) >= 3
+    # without f0_bin the PCD stays out (inference-compat apply)
+    assert len(discriminator.apply(d, audio)) == len(outs) - 1
+
+    # conditioning channels: audio locked to the conditioned F0 must
+    # correlate with the reference oscillator; a detuned (+2 semitone)
+    # audio's correlation envelope must rotate (lower |mean product|)
+    bins = np.full((1, 8), 200, np.int32)
+    hz = 440.0 * 2 ** ((200 / 8.0 + 33.0 - 69.0) / 12.0)
+    t = np.arange(n) / 24000.0
+    locked = jnp.asarray(np.sin(2 * np.pi * hz * t + 0.7)[None, :],
+                         jnp.float32)
+    detuned = jnp.asarray(
+        np.sin(2 * np.pi * hz * 2 ** (2 / 12.0) * t + 0.7)[None, :],
+        jnp.float32)
+    x_l = discriminator.pitch_phase_channels(locked, jnp.asarray(bins))
+    x_d = discriminator.pitch_phase_channels(detuned, jnp.asarray(bins))
+
+    def lock_strength(x):
+        a, c, s = np.asarray(x[0, :, :, 0]), np.asarray(x[0, :, :, 1]), \
+            np.asarray(x[0, :, :, 2])
+        return np.hypot((a * c).mean(), (a * s).mean())
+
+    assert lock_strength(x_l) > 5 * lock_strength(x_d)
+
+    # unvoiced frames zero the oscillator channels
+    assert float(jnp.abs(
+        discriminator.pitch_phase_channels(
+            audio, jnp.zeros((2, 8), jnp.int32))[..., 1:]).max()) == 0.0
+
+
 def test_gan_step_runs_and_trains():
     from beatrice_vst_tpu.training import train_gan
 
@@ -51,6 +100,32 @@ def test_gan_step_runs_and_trains():
     bank = bank_mod.random_bank(jax.random.PRNGKey(2), spec, 2)
     batches = make_teacher_batcher(cfg, teacher, bank, batch=2, frames=8)
     _, history = train_gan(student, cfg, batches, steps=3, lr=1e-4,
+                           log_every=1, log_fn=lambda *_: None)
+    assert np.isfinite([loss for _, loss in history]).all()
+
+
+def test_gan_step_with_pitch_conditioning():
+    """The full adversarial step with f0_bin in the batch: PCD critic +
+    pitch-anchor losses active, everything finite."""
+    from beatrice_vst_tpu.training import train_gan
+
+    spec = V20A2
+    cfg = VoiceConverterConfig.for_version(spec)
+    student = chain.init(jax.random.PRNGKey(0), cfg)
+    teacher = chain.init(jax.random.PRNGKey(1), cfg)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(2), spec, 2)
+    rng = np.random.default_rng(3)
+
+    def with_f0(batches):
+        for b in batches:
+            b = dict(b)
+            b["f0_bin"] = jnp.asarray(
+                rng.integers(0, 300, (2, 8)).astype(np.int32))
+            yield b
+
+    batches = with_f0(make_teacher_batcher(cfg, teacher, bank, batch=2,
+                                           frames=8))
+    _, history = train_gan(student, cfg, batches, steps=2, lr=1e-4,
                            log_every=1, log_fn=lambda *_: None)
     assert np.isfinite([loss for _, loss in history]).all()
 
