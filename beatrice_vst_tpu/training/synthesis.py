@@ -140,6 +140,12 @@ def sample_utterance(rng: np.random.Generator, min_syllables: int = 6,
     lo, hi = f0_scale_range
     scale = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
     base = rng.uniform(120.0, 180.0) * scale
+    if hi > 2.0 and rng.random() < 0.15:
+        # stratified high-register draws: the log-uniform scale alone
+        # puts only ~5% of utterances above 320 Hz (base x scale must
+        # exceed 340), too thin for a 45-utterance corpus to anchor the
+        # 330 Hz eval register -- force ~15% of draws into the top band
+        base = float(rng.uniform(300.0, 396.0))
     t = np.arange(n_frames) / n_frames
     f0 = base * (1.06 - 0.18 * t)
     n_acc = max(2, n_syll // 2)
@@ -149,6 +155,11 @@ def sample_utterance(rng: np.random.Generator, min_syllables: int = 6,
         f0 *= 1.0 + rng.uniform(-0.10, 0.16) * np.exp(-0.5 * ((t - c) / w) ** 2)
     f0 *= 1.0 + 0.008 * np.sin(2 * np.pi * 5.3 * np.arange(n_frames) * FRAME_S
                                + rng.uniform(0, 6.28))
+    # stacked accents on a top-band draw can exceed the 460 Hz
+    # autocorrelation-tracker limit (quality.f0_track fmax) that both the
+    # training supervision and the eval metrics rely on -- cap the
+    # contour just below it
+    f0 = np.minimum(f0, 450.0)
     return segs, f0.astype(np.float32)
 
 

@@ -38,6 +38,11 @@ def main():
                          "bin-agreement task adversarially hard "
                          "(argmax of noise).")
     ap.add_argument("--steps-per-module", type=int, default=5000)
+    ap.add_argument("--pitch-steps-mult", type=int, default=2,
+                    help="extra step budget multiplier for the pitch "
+                         "module (qp_match is the 1e-3 parity limiter -- "
+                         "VERDICT r4 item 5; the hard-CE + margin-hinge "
+                         "objective needs iterations, not capacity)")
     ap.add_argument("--e2e-steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=32)
@@ -115,21 +120,23 @@ def main():
     report["baseline"] = baseline
 
     for module in ("phone", "pitch", "wg"):
+        n_steps = args.steps_per_module * (
+            args.pitch_steps_mult if module == "pitch" else 1)
         opt = optax.adamw(optax.cosine_decay_schedule(
-            args.lr, args.steps_per_module), weight_decay=1e-3)
+            args.lr, n_steps), weight_decay=1e-3)
         opt_state = opt.init(student[module])
         curve = []
         t0 = time.time()
-        for step in range(args.steps_per_module):
+        for step in range(n_steps):
             student, opt_state, m = fd.module_step(
                 student, opt_state, teacher, make_batch(step), cfg=cfg,
                 opt=opt, module=module)
-            if step % 100 == 0 or step == args.steps_per_module - 1:
+            if step % 100 == 0 or step == n_steps - 1:
                 loss = float(m["loss"])
                 curve.append([step, loss])
                 print(f"{module} step {step}: {loss:.6f}", flush=True)
         report["phases"].append({
-            "module": module, "steps": args.steps_per_module,
+            "module": module, "steps": n_steps,
             "loss_curve": curve, "wall_s": round(time.time() - t0, 1),
             "e2e_after": e2e(f"e2e@{module}"),
         })
