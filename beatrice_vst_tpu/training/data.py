@@ -120,12 +120,23 @@ class PairDataset:
 
 
 def make_pair_batcher(dataset: PairDataset, cfg, bank, *, batch: int,
-                      frames: int, seed: int = 0, prefetch: int = 2):
+                      frames: int, seed: int = 0, prefetch: int = 2,
+                      register_boost: float = 1.0):
     """Yield {audio16, target24, cond} batches of random aligned crops.
 
     Per-example speaker ids come from speakers.json (so one dataset can
     hold recordings converted to several target voices); the cond tensor
-    is rebuilt per batch with those ids."""
+    is rebuilt per batch with those ids.
+
+    register_boost: sampling weight multiplier for high-register pairs.
+    The r6 pitch diagnosis (docs/PITCH_DIAGNOSIS.json) showed converted-F0
+    RMSE is dominated by renderer collapse on high-register utterances
+    (forced-bin renders at 1300-1600 cents with tracker voiced_frac ~0.3
+    on the top-band eval utterance, vs 35-100 cents elsewhere): only
+    ~15-20%% of the corpus sits in the stratified top band, so the
+    waveform/GAN losses see too little high-F0 material to sharpen those
+    harmonics.  Weight w(i) ramps 1 -> register_boost as the pair's mean
+    voiced F0 crosses 240 -> 320 Hz; 1.0 keeps legacy uniform sampling."""
     import jax.numpy as jnp
 
     from ..runtime.offline import ConversionSettings, build_cond
@@ -138,6 +149,17 @@ def make_pair_batcher(dataset: PairDataset, cfg, bank, *, batch: int,
               if len(a) >= n16]
     if not usable:
         raise ValueError(f"no utterance has >= {frames} frames")
+    if register_boost != 1.0:
+        w = np.empty(len(usable), np.float64)
+        for k, i in enumerate(usable):
+            f0_hz = dataset.items[i][3]
+            voiced = f0_hz[f0_hz > 0]
+            mean_f0 = float(voiced.mean()) if len(voiced) else 0.0
+            ramp = min(1.0, max(0.0, (mean_f0 - 240.0) / 80.0))
+            w[k] = 1.0 + (register_boost - 1.0) * ramp
+        p_usable = w / w.sum()
+    else:
+        p_usable = None
 
     # Per-speaker cond rows are STATIC: build each one once, keep them as
     # host numpy, and assemble per-batch conds with one gather + one
@@ -159,7 +181,9 @@ def make_pair_batcher(dataset: PairDataset, cfg, bank, *, batch: int,
         f0_out = np.zeros((batch, frames), np.float32)
         spk = np.zeros((batch,), np.int32)
         for b in range(batch):
-            a, t, sid, f0_hz = dataset.items[usable[rng.integers(len(usable))]]
+            idx = (int(rng.choice(len(usable), p=p_usable))
+                   if p_usable is not None else int(rng.integers(len(usable))))
+            a, t, sid, f0_hz = dataset.items[usable[idx]]
             f_max = len(a) // 160 - frames
             f0 = int(rng.integers(f_max + 1))
             a_out[b] = a[f0 * 160: (f0 + frames) * 160]

@@ -107,7 +107,8 @@ def train():
                 "--steps", os.environ.get("R6_STEPS", "1500"),
                 "--gan-steps", os.environ.get("R6_GAN_STEPS", "400"),
                 "--batch", "16",
-                "--f0-weight", "4.0",
+                "--f0-weight", os.environ.get("R6_F0W", "4.0"),
+                "--register-boost", os.environ.get("R6_REG_BOOST", "3.0"),
                 "--out", STAGING,
                 "--report", os.path.join(REPO, "docs",
                                          "TRAIN_R6_REPORT.json"),
@@ -151,7 +152,10 @@ def promote():
                        "widened-register corpus (0.6-2.2), "
                        f"{os.environ.get('R6_STEPS', '1500')} distill + "
                        f"{os.environ.get('R6_GAN_STEPS', '400')} GAN, "
-                       "f0-weight 4, soft-pitch")}
+                       f"f0-weight {os.environ.get('R6_F0W', '4.0')}, "
+                       "register-boost "
+                       f"{os.environ.get('R6_REG_BOOST', '3.0')}, "
+                       "soft-pitch")}
         with open(REPORT, "w") as f:
             json.dump(rep, f, indent=1)
         # the new baseline for any follow-up burst in this same round
@@ -179,6 +183,7 @@ def train6():
                 "--gan-steps", os.environ.get("R6_K6_GAN", "400"),
                 "--batch", "16",
                 "--f0-weight", "4.0",
+                "--register-boost", os.environ.get("R6_REG_BOOST", "3.0"),
                 "--speakers", "0", "1", "2", "3", "4", "5",
                 "--out", os.path.join(REPO, "models_demo", "klatt6"),
                 "--report", os.path.join(REPO, "docs",

@@ -57,6 +57,12 @@ def main():
                     help="train only on these speaker ids (OOD protocol: "
                          "hold out the rest; pairs touching held-out "
                          "speakers are excluded)")
+    ap.add_argument("--register-boost", type=float, default=1.0,
+                    help="sampling weight multiplier for high-register "
+                         "pairs (mean voiced F0 ramp 240->320 Hz); the r6 "
+                         "pitch diagnosis showed renderer collapse on the "
+                         "under-sampled top band dominates converted-F0 "
+                         "RMSE")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--report", default=os.path.join(REPO, "docs",
                                                      "TRAIN_REAL_REPORT.json"))
@@ -120,7 +126,7 @@ def main():
           f"({ds.n_frames_total() * 0.01 / 3600:.2f} h)", flush=True)
     batches = make_pair_batcher(
         ds, model_cfg, bank, batch=args.batch, frames=args.frames,
-        seed=args.seed,
+        seed=args.seed, register_boost=args.register_boost,
     )
 
     t0 = time.time()
@@ -181,6 +187,7 @@ def main():
         "batch": args.batch,
         "frames_per_example": args.frames,
         "f0_weight": args.f0_weight,
+        "register_boost": args.register_boost,
         "soft_pitch": args.soft_pitch,
         "lr_schedule": args.lr_schedule,
         "train_speakers": args.speakers,

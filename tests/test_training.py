@@ -180,6 +180,45 @@ def test_pair_dataset_identity_mode(tmp_path):
     assert np.isfinite(np.asarray(batch["target24"])).all()
 
 
+def test_pair_batcher_register_boost(tmp_path):
+    """High-register pairs are oversampled under register_boost.
+
+    The r6 pitch diagnosis showed converted-F0 RMSE is dominated by
+    renderer collapse on the under-sampled high-register band; the
+    batcher's register_boost ramps sampling weight 1 -> boost across a
+    mean voiced F0 of 240 -> 320 Hz."""
+    from beatrice_vst_tpu.audio_io import write_wav
+    from beatrice_vst_tpu.training import PairDataset, make_pair_batcher
+
+    d = tmp_path / "data" / "inputs"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_wav(str(d / f"utt{i}.wav"),
+                  rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+    ds = PairDataset(str(tmp_path / "data"))
+    # pin deterministic registers: item 0 low (150 Hz), item 1 high
+    # (330 Hz); mark item 1's audio with a constant so draws are countable
+    a0, t0, s0, f0_0 = ds.items[0]
+    a1, t1, s1, f0_1 = ds.items[1]
+    ds.items[0] = (a0, t0, s0, np.full_like(f0_0, 150.0))
+    ds.items[1] = (np.full_like(a1, 0.5), t1, s1,
+                   np.full_like(f0_1, 330.0))
+    spec = V20A2
+    cfg = VoiceConverterConfig.for_version(spec)
+    bank = bank_mod.random_bank(jax.random.PRNGKey(2), spec, 2)
+    batcher = make_pair_batcher(ds, cfg, bank, batch=16, frames=8,
+                                prefetch=0, register_boost=9.0)
+    high = total = 0
+    for _ in range(6):
+        batch = next(batcher)
+        a = np.asarray(batch["audio16"])
+        high += int((a[:, 0] == 0.5).sum())
+        total += a.shape[0]
+    # expected high fraction = 9/10; uniform would be 1/2
+    assert high / total > 0.75, (high, total)
+
+
 def test_pair_dataset_with_targets_and_speakers(tmp_path):
     import json
 
