@@ -83,9 +83,55 @@ def pitch_supervision_losses(taps, f0_bin):
     return l_f0, l_voice
 
 
+def periodicity_loss(pred24, f0_bin, frame: int = 240, window: int = 480):
+    """Differentiable periodicity anchor on the RENDERED waveform.
+
+    The r6 pitch diagnosis (docs/PITCH_DIAGNOSIS.json) showed converted-F0
+    RMSE is dominated by renderer collapse: on high-register pairs even
+    teacher-forced bins render barely-voiced audio (tracker voiced_frac
+    ~0.3, 1300-1600 cents), while the estimator itself tracks fine.  The
+    reconstruction/adversarial losses reward spectral envelope (MCD kept
+    improving across bursts while F0 RMSE rose) -- nothing in the
+    objective directly demands the render be PERIODIC at the conditioned
+    F0.  This term does: for each voiced frame, 1 - the normalized
+    autocorrelation of the predicted 24 kHz waveform at the ground-truth
+    period lag (the differentiable form of what the eval's
+    autocorrelation tracker measures).
+
+    pred24: [B, n] rendered audio at 24 kHz; f0_bin: [B, T] ground-truth
+    quantized-pitch bins (0 = unvoiced; fixed bin->Hz mapping midi =
+    bin/8 + 33).  Frames whose window+lag would read past the end are
+    masked out, not padded (zero-padding would fake decorrelation).
+    """
+    bsz, n = pred24.shape
+    t_n = min(f0_bin.shape[1], n // frame)
+    fb = f0_bin[:, :t_n]
+    midi = fb.astype(jnp.float32) / 8.0 + 33.0
+    f0 = 440.0 * 2.0 ** ((midi - 69.0) / 12.0)
+    # 24000/460 Hz ~ 52 .. 24000/55 Hz ~ 436 samples
+    lag = jnp.clip(jnp.round(24000.0 / f0), 48.0, 440.0).astype(jnp.int32)
+    starts = jnp.arange(t_n, dtype=jnp.int32) * frame          # [T]
+    i = jnp.arange(window, dtype=jnp.int32)                    # [W]
+    idx0 = starts[:, None] + i[None, :]                        # [T, W]
+    x0 = pred24[:, idx0.reshape(-1)].reshape(bsz, t_n, window)
+    idx1 = idx0[None, :, :] + lag[:, :, None]                  # [B, T, W]
+    max_idx = n - 1
+    valid = (idx1[:, :, -1] <= max_idx)                        # [B, T]
+    x1 = jnp.take_along_axis(
+        pred24, jnp.minimum(idx1, max_idx).reshape(bsz, -1), axis=1
+    ).reshape(bsz, t_n, window)
+    dot = jnp.sum(x0 * x1, -1)
+    e0 = jnp.sum(x0 * x0, -1)
+    e1 = jnp.sum(x1 * x1, -1)
+    r = dot * jax.lax.rsqrt(e0 * e1 + 1e-8)
+    mask = (fb > 0).astype(jnp.float32) * valid.astype(jnp.float32)
+    return jnp.sum((1.0 - r) * mask) / jnp.maximum(mask.sum(), 1.0)
+
+
 def distillation_loss(params, cfg, audio16, target24, cond, state=None,
                       f0_bin=None, f0_weight: float = 1.0,
-                      soft_pitch: bool = False):
+                      soft_pitch: bool = False,
+                      periodicity_weight: float = 0.0):
     """Forward the chain and score against the target 24 kHz waveform.
 
     f0_bin: optional [B, T] int32 ground-truth quantized-pitch bins
@@ -118,6 +164,10 @@ def distillation_loss(params, cfg, audio16, target24, cond, state=None,
     l_wav = jnp.mean(jnp.abs(pred - target24))
     total = (l_stft + l_wav + f0_weight * aux.get("f0", 0.0)
              + f0_weight * aux.get("voice", 0.0))
+    if periodicity_weight and f0_bin is not None:
+        l_perio = periodicity_loss(pred, f0_bin)
+        total = total + periodicity_weight * l_perio
+        aux["perio"] = l_perio
     return total, {"stft": l_stft, "l1": l_wav, **aux}
 
 
@@ -136,15 +186,16 @@ def make_optimizer(lr: float = 2e-4, weight_decay: float = 1e-2,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "optimizer", "f0_weight",
-                                    "soft_pitch"))
+                                    "soft_pitch", "periodicity_weight"))
 def train_step(params, opt_state, batch, *, cfg, optimizer,
-               f0_weight: float = 1.0, soft_pitch: bool = False):
+               f0_weight: float = 1.0, soft_pitch: bool = False,
+               periodicity_weight: float = 0.0):
     """One distillation step.  batch: {audio16 [B, T*160], target24
     [B, T*240], cond: chain cond dict[, f0_bin [B, T] int32]}."""
     (loss, aux), grads = jax.value_and_grad(distillation_loss, has_aux=True)(
         params, cfg, batch["audio16"], batch["target24"], batch["cond"],
         f0_bin=batch.get("f0_bin"), f0_weight=f0_weight,
-        soft_pitch=soft_pitch,
+        soft_pitch=soft_pitch, periodicity_weight=periodicity_weight,
     )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

@@ -54,7 +54,7 @@ def disc_loss(disc_params, real, fake, f0_bin=None):
 
 
 def gen_loss(gen_params, disc_params, cfg, batch, compute_dtype=None,
-             soft_pitch: bool = False):
+             soft_pitch: bool = False, periodicity_weight: float = 0.0):
     f0_bin = batch.get("f0_bin")
     if f0_bin is not None:
         # keep the pitch anchor during adversarial polish: without it the
@@ -89,8 +89,15 @@ def gen_loss(gen_params, disc_params, cfg, batch, compute_dtype=None,
     l_fm = l_fm / max(n_maps, 1)
     total = (LAMBDA_REC * l_rec + LAMBDA_FM * l_fm + LAMBDA_ADV * l_adv
              + LAMBDA_F0 * (l_f0 + l_voice))
-    return total, {"rec": l_rec, "fm": l_fm, "adv": l_adv,
-                   "f0": l_f0, "voice": l_voice}
+    aux = {"rec": l_rec, "fm": l_fm, "adv": l_adv,
+           "f0": l_f0, "voice": l_voice}
+    if periodicity_weight and f0_bin is not None:
+        from .distill import periodicity_loss
+
+        l_perio = periodicity_loss(pred, f0_bin)
+        total = total + periodicity_weight * l_perio
+        aux["perio"] = l_perio
+    return total, aux
 
 
 def make_gan_optimizers(lr: float = 2e-4, b1: float = 0.8, b2: float = 0.99):
@@ -101,11 +108,12 @@ def make_gan_optimizers(lr: float = 2e-4, b1: float = 0.8, b2: float = 0.99):
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "gen_opt", "disc_opt", "compute_dtype",
-                              "soft_pitch")
+                              "soft_pitch", "periodicity_weight")
 )
 def gan_train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
                    batch, *, cfg, gen_opt, disc_opt, compute_dtype=None,
-                   soft_pitch: bool = False):
+                   soft_pitch: bool = False,
+                   periodicity_weight: float = 0.0):
     """One D step then one G step on the same batch.
 
     batch: {audio16 [B, T*160], target24 [B, T*240], cond} — identical to
@@ -121,7 +129,8 @@ def gan_train_step(gen_params, disc_params, gen_opt_state, disc_opt_state,
     disc_params = optax.apply_updates(disc_params, d_updates)
 
     (g_loss, aux), g_grads = jax.value_and_grad(gen_loss, has_aux=True)(
-        gen_params, disc_params, cfg, batch, compute_dtype, soft_pitch
+        gen_params, disc_params, cfg, batch, compute_dtype, soft_pitch,
+        periodicity_weight
     )
     g_updates, gen_opt_state = gen_opt.update(
         g_grads, gen_opt_state, gen_params

@@ -58,7 +58,7 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
           log_every: int = 10, log_fn=print, ckpt_dir: str | None = None,
           save_every: int = 500, resume: bool = False,
           f0_weight: float = 1.0, soft_pitch: bool = False,
-          lr_schedule: bool = False):
+          lr_schedule: bool = False, periodicity_weight: float = 0.0):
     """Run `steps` of distillation; returns (params, history).
 
     With `ckpt_dir`, the full training pytree (params + optimizer state +
@@ -81,6 +81,7 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
         params, opt_state, metrics = train_step(
             params, opt_state, batch, cfg=cfg, optimizer=optimizer,
             f0_weight=f0_weight, soft_pitch=soft_pitch,
+            periodicity_weight=periodicity_weight,
         )
         if step % 200 == 0:
             import gc
@@ -90,8 +91,8 @@ def train(params, cfg, batches, *, steps: int, lr: float = 2e-4,
             loss = float(metrics["loss"])
             history.append((step, loss))
             extra = "".join(
-                f", {k} {float(metrics[k]):.4f}" for k in ("f0", "voice")
-                if k in metrics)
+                f", {k} {float(metrics[k]):.4f}"
+                for k in ("f0", "voice", "perio") if k in metrics)
             log_fn(
                 f"step {step}: loss {loss:.4f} "
                 f"(stft {float(metrics['stft']):.4f}, "
@@ -109,7 +110,8 @@ def train_gan(params, cfg, batches, *, steps: int, lr: float = 2e-4,
               seed: int = 0, log_every: int = 10, log_fn=print,
               ckpt_dir: str | None = None, save_every: int = 500,
               resume: bool = False, compute_dtype=None,
-              soft_pitch: bool = False):
+              soft_pitch: bool = False,
+              periodicity_weight: float = 0.0):
     """Adversarial training (MPD+MRD least-squares GAN + feature matching
     on top of the reconstruction objective).  Returns (params, history);
     discriminators live only in the checkpoint."""
@@ -136,12 +138,14 @@ def train_gan(params, cfg, batches, *, steps: int, lr: float = 2e-4,
             params, disc_params, gen_opt_state, disc_opt_state, batch,
             cfg=cfg, gen_opt=gen_opt, disc_opt=disc_opt,
             compute_dtype=compute_dtype, soft_pitch=soft_pitch,
+            periodicity_weight=periodicity_weight,
         )
         if step % log_every == 0 or step == steps - 1:
             g = float(metrics["g_loss"])
             history.append((step, g))
             extra = "".join(
-                f", {k} {float(metrics[k]):.4f}" for k in ("f0", "voice")
+                f", {k} {float(metrics[k]):.4f}"
+                for k in ("f0", "voice", "perio")
                 if k in metrics and not isinstance(metrics[k], float))
             log_fn(
                 f"step {step}: g {g:.4f} d {float(metrics['d_loss']):.4f} "

@@ -109,6 +109,7 @@ def train():
                 "--batch", "16",
                 "--f0-weight", os.environ.get("R6_F0W", "4.0"),
                 "--register-boost", os.environ.get("R6_REG_BOOST", "3.0"),
+                "--periodicity-weight", os.environ.get("R6_PERIO", "2.0"),
                 "--out", STAGING,
                 "--report", os.path.join(REPO, "docs",
                                          "TRAIN_R6_REPORT.json"),
@@ -155,6 +156,8 @@ def promote():
                        f"f0-weight {os.environ.get('R6_F0W', '4.0')}, "
                        "register-boost "
                        f"{os.environ.get('R6_REG_BOOST', '3.0')}, "
+                       "periodicity-weight "
+                       f"{os.environ.get('R6_PERIO', '2.0')}, "
                        "soft-pitch")}
         with open(REPORT, "w") as f:
             json.dump(rep, f, indent=1)
@@ -184,6 +187,7 @@ def train6():
                 "--batch", "16",
                 "--f0-weight", "4.0",
                 "--register-boost", os.environ.get("R6_REG_BOOST", "3.0"),
+                "--periodicity-weight", os.environ.get("R6_PERIO", "2.0"),
                 "--speakers", "0", "1", "2", "3", "4", "5",
                 "--out", os.path.join(REPO, "models_demo", "klatt6"),
                 "--report", os.path.join(REPO, "docs",

@@ -57,6 +57,14 @@ def main():
                     help="train only on these speaker ids (OOD protocol: "
                          "hold out the rest; pairs touching held-out "
                          "speakers are excluded)")
+    ap.add_argument("--periodicity-weight", type=float, default=0.0,
+                    help="weight of the rendered-waveform periodicity "
+                         "anchor (1 - autocorr at the ground-truth period "
+                         "lag, per voiced frame; training/distill.py:"
+                         "periodicity_loss) applied in BOTH phases -- the "
+                         "r6 diagnosis showed the renderer's periodicity "
+                         "collapse, not the estimator, dominates "
+                         "converted-F0 RMSE")
     ap.add_argument("--register-boost", type=float, default=1.0,
                     help="sampling weight multiplier for high-register "
                          "pairs (mean voiced F0 ramp 240->320 Hz); the r6 "
@@ -164,6 +172,7 @@ def main():
         log_every=50, log_fn=log_fn, ckpt_dir=args.ckpt_dir,
         save_every=1000, resume=args.resume, f0_weight=args.f0_weight,
         soft_pitch=args.soft_pitch, lr_schedule=args.lr_schedule,
+        periodicity_weight=args.periodicity_weight,
     )
     distill_wall = time.time() - t0
 
@@ -175,6 +184,7 @@ def main():
             lr=args.lr * 0.5, seed=args.seed, log_every=50, log_fn=log_fn,
             ckpt_dir=args.ckpt_dir + "_gan", save_every=400,
             resume=args.resume, soft_pitch=args.soft_pitch,
+            periodicity_weight=args.periodicity_weight,
         )
         gan_wall = time.time() - t1
     else:
@@ -188,6 +198,7 @@ def main():
         "frames_per_example": args.frames,
         "f0_weight": args.f0_weight,
         "register_boost": args.register_boost,
+        "periodicity_weight": args.periodicity_weight,
         "soft_pitch": args.soft_pitch,
         "lr_schedule": args.lr_schedule,
         "train_speakers": args.speakers,

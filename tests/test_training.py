@@ -180,6 +180,29 @@ def test_pair_dataset_identity_mode(tmp_path):
     assert np.isfinite(np.asarray(batch["target24"])).all()
 
 
+def test_periodicity_loss():
+    """~0 for a sine at the conditioned F0, ~1 for noise, 0 unvoiced,
+    finite gradient (the r6 renderer-periodicity anchor)."""
+    from beatrice_vst_tpu.training.distill import (f0_to_bin,
+                                                   periodicity_loss)
+
+    sr, t_n = 24000, 20
+    n = t_n * 240
+    t = np.arange(n) / sr
+    for f0 in (110.0, 330.0):
+        sine = np.sin(2 * np.pi * f0 * t).astype(np.float32)[None]
+        fb = jnp.asarray(f0_to_bin(np.full((1, t_n), f0, np.float32), 384))
+        assert float(periodicity_loss(jnp.asarray(sine), fb)) < 0.05
+        noise = np.random.default_rng(0).standard_normal(
+            (1, n)).astype(np.float32)
+        assert float(periodicity_loss(jnp.asarray(noise), fb)) > 0.5
+    fb0 = jnp.zeros((1, t_n), jnp.int32)
+    assert float(periodicity_loss(
+        jnp.asarray(np.ones((1, n), np.float32)), fb0)) == 0.0
+    g = jax.grad(lambda x: periodicity_loss(x, fb))(jnp.asarray(noise))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_pair_batcher_register_boost(tmp_path):
     """High-register pairs are oversampled under register_boost.
 
