@@ -95,14 +95,19 @@ def train():
     import scripts.train_real_model as tr
 
     ckpt = "/tmp/beatrice_train_ckpt_r6"
-    if not os.path.isdir(STAGING):
-        shutil.copytree(SHIPPED, STAGING)
     # purge keyed on burst start, BOTH ckpt dirs (ADVICE r4: the _gan dir
     # and the STAGING-left-for-inspection path both re-created the silent
-    # resume-and-skip no-op burst)
+    # resume-and-skip no-op burst).  A fresh burst also re-stages from
+    # the SHIPPED incumbent: leaving a REJECTED model in STAGING made the
+    # next burst silently fine-tune the rejected weights (burst 4
+    # happened to recover from burst 3's staging, but burst 5's reject
+    # regressed BOTH metrics -- continuing it would compound).
     if not os.environ.get("R6_RESUME"):
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(ckpt + "_gan", ignore_errors=True)
+        shutil.rmtree(STAGING, ignore_errors=True)
+    if not os.path.isdir(STAGING):
+        shutil.copytree(SHIPPED, STAGING)
     sys.argv = ["train_real_model.py",
                 "--steps", os.environ.get("R6_STEPS", "1500"),
                 "--gan-steps", os.environ.get("R6_GAN_STEPS", "400"),
