@@ -115,6 +115,7 @@ def train():
                 "--f0-weight", os.environ.get("R6_F0W", "4.0"),
                 "--register-boost", os.environ.get("R6_REG_BOOST", "3.0"),
                 "--periodicity-weight", os.environ.get("R6_PERIO", "2.0"),
+                "--seed", os.environ.get("R6_SEED", "0"),
                 "--out", STAGING,
                 "--report", os.path.join(REPO, "docs",
                                          "TRAIN_R6_REPORT.json"),
