@@ -69,6 +69,13 @@ class PairDataset:
         if os.path.exists(spk_path):
             with open(spk_path) as f:
                 spk_map = json.load(f)
+        # Exact F0 labels (r6): a synthetic corpus writes its plan
+        # contours to f0_plan.npz (make_corpus.py) -- ground truth with
+        # zero tracker error.  Real-recording corpora fall back to the
+        # autocorrelation tracker below.
+        plan_path = os.path.join(data_dir, "f0_plan.npz")
+        f0_plan = dict(np.load(plan_path)) if os.path.exists(plan_path) \
+            else {}
         self.items = []  # (audio16, target24, speaker_id, f0_hz [frames])
         for fn in sorted(os.listdir(in_dir)):
             if not fn.lower().endswith(".wav"):
@@ -91,17 +98,20 @@ class PairDataset:
             if n_frames < 2:
                 continue
             a16 = a16[: n_frames * 160]
-            from .quality import f0_track
+            if name in f0_plan:
+                f0 = np.asarray(f0_plan[name], np.float32)
+            else:
+                from .quality import f0_track
 
-            # Align the tracker grid with the model frame grid: the
-            # tracker's window i spans [i*160, i*160+640) (center
-            # i*160+320) while model frame i is centered at i*160+80.
-            # Pre-padding 240 samples shifts every window center to
-            # exactly i*160+80 so the CE/voicing targets hit the frames
-            # they supervise (they previously lagged ~1.5 frames).
-            f0, voiced = f0_track(
-                np.pad(a16, (240, 0)), IN_SAMPLE_RATE)
-            f0 = np.where(voiced, f0, 0.0).astype(np.float32)
+                # Align the tracker grid with the model frame grid: the
+                # tracker's window i spans [i*160, i*160+640) (center
+                # i*160+320) while model frame i is centered at i*160+80.
+                # Pre-padding 240 samples shifts every window center to
+                # exactly i*160+80 so the CE/voicing targets hit the
+                # frames they supervise (previously lagged ~1.5 frames).
+                f0, voiced = f0_track(
+                    np.pad(a16, (240, 0)), IN_SAMPLE_RATE)
+                f0 = np.where(voiced, f0, 0.0).astype(np.float32)
             if len(f0) < n_frames:  # tracker window vs frame grid edge
                 f0 = np.pad(f0, (0, n_frames - len(f0)), mode="edge")
             self.items.append(

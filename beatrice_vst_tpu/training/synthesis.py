@@ -163,6 +163,20 @@ def sample_utterance(rng: np.random.Generator, min_syllables: int = 6,
     return segs, f0.astype(np.float32)
 
 
+def plan_f0_voiced(segs, f0_frames, voicing_threshold: float = 0.25):
+    """Per-frame ground-truth F0 (Hz) with 0 in unvoiced frames.
+
+    The utterance plan's contour is defined at every frame (the voicing
+    AMPLITUDE gates it in the renderer, not the contour); supervision and
+    eval truth need the gated form -- an ungated contour would label
+    pauses/fricatives as voiced.  The gate replays the same smoothed
+    voiced*amp track the renderer excites with (_tracks)."""
+    tr, n = _tracks(segs, np.asarray(f0_frames, np.float32),
+                    np.random.default_rng(0))
+    gate = tr["voiced"] * tr["amp"] > voicing_threshold
+    return np.where(gate, tr["f0"], 0.0).astype(np.float32)
+
+
 def _tracks(segs, f0_frames, rng):
     """Expand the segment plan to smoothed per-frame parameter tracks."""
     keys = ["F1", "F2", "F3", "F4", "voiced", "fric", "fc", "fbw", "amp"]

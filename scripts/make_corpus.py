@@ -43,7 +43,7 @@ def main():
 
     from beatrice_vst_tpu.audio_io import write_wav
     from beatrice_vst_tpu.training.synthesis import (
-        SR, default_speakers, render, sample_utterance)
+        SR, default_speakers, plan_f0_voiced, render, sample_utterance)
 
     speakers = default_speakers(args.speakers)
     raw = os.path.join(args.out, "raw")
@@ -51,9 +51,11 @@ def main():
         shutil.rmtree(args.out)
     rng_plan = np.random.default_rng(args.seed)
     total = 0.0
+    plan_f0 = {}
     print(f"rendering {args.utts} utterances x {len(speakers)} speakers ...")
     for j in range(args.utts):
         segs, f0 = sample_utterance(rng_plan)
+        plan_f0[f"utt{j:03d}"] = plan_f0_voiced(segs, f0)
         for k, spk in enumerate(speakers):
             rng_r = np.random.default_rng(args.seed * 100003 + j * 131 + k)
             y = render(segs, f0, spk, rng_r, SR)
@@ -88,6 +90,16 @@ def main():
             n_pairs += 1
     with open(os.path.join(pairs_dir, "speakers.json"), "w") as f:
         json.dump(spk_map, f)
+    # Exact per-pair F0 labels (r6): the synthesis plan IS the ground
+    # truth (one contour shared across speakers, 10 ms frames, 0 =
+    # unvoiced) -- PairDataset prefers this over running the
+    # autocorrelation tracker, whose octave/formant mistracks (up to
+    # 1340 cents on low-register renditions) were feeding the pitch
+    # supervision.  raw/f0_plan.npz keeps the per-utterance contours for
+    # eval tools.
+    np.savez(os.path.join(pairs_dir, "f0_plan.npz"),
+             **{name: plan_f0[f"utt{name[1:4]}"] for name in spk_map})
+    np.savez(os.path.join(raw, "f0_plan.npz"), **plan_f0)
 
     manifest = {
         "n_speakers": len(speakers),

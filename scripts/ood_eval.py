@@ -58,7 +58,8 @@ def main():
     from beatrice_vst_tpu.runtime.offline import (ConversionSettings,
                                                   convert_utterance)
     from beatrice_vst_tpu.training.quality import compare
-    from beatrice_vst_tpu.training.synthesis import (default_speakers, render,
+    from beatrice_vst_tpu.training.synthesis import (default_speakers,
+                                                     plan_f0_voiced, render,
                                                      sample_utterance)
 
     with open(os.path.join(args.corpus, "manifest.json")) as f:
@@ -105,6 +106,7 @@ def main():
         rows = []
         rng = np.random.default_rng(int(snr_db))
         for j in eval_utts[:3]:
+            gt = plan_f0_voiced(*plans[j])
             for s, t in ((0, 3), (2, 5), (4, 1)):
                 src, sr = rendition(j, s)
                 ref, _ = rendition(j, t)
@@ -116,8 +118,10 @@ def main():
                     params8, cfg8, bank8, noisy, sr,
                     ConversionSettings(target_speaker=t), out_sample_rate=sr)
                 rows.append({"utt": j, "src": s, "tgt": t,
-                             "converted": compare(conv, ref, sr),
-                             "do_nothing": compare(noisy, ref, sr)})
+                             "converted": compare(conv, ref, sr,
+                                                  f0_truth=gt),
+                             "do_nothing": compare(noisy, ref, sr,
+                                                   f0_truth=gt)})
                 print(f"noise {snr_db}dB", json.dumps(rows[-1]), flush=True)
         ood[f"noise_snr_{int(snr_db)}db"] = agg(rows)
 
@@ -138,6 +142,7 @@ def main():
             segs, f0 = plans[j]
             gmean = float(np.exp(np.mean(np.log(np.maximum(f0, 1e-3)))))
             f0_reg = f0 * (reg_hz / gmean)
+            gt = plan_f0_voiced(segs, f0_reg)
             for s, t in ((1, 4), (3, 0), (5, 2)):
                 sr = manifest["sample_rate"]
                 src = render(segs, f0_reg, speakers[s],
@@ -148,8 +153,10 @@ def main():
                     params8, cfg8, bank8, src, sr,
                     ConversionSettings(target_speaker=t), out_sample_rate=sr)
                 rows.append({"utt": j, "src": s, "tgt": t,
-                             "converted": compare(conv, ref, sr),
-                             "do_nothing": compare(src, ref, sr)})
+                             "converted": compare(conv, ref, sr,
+                                                  f0_truth=gt),
+                             "do_nothing": compare(src, ref, sr,
+                                                   f0_truth=gt)})
                 print(f"unseen_f0_{reg_name}", json.dumps(rows[-1]),
                       flush=True)
         ood[f"unseen_f0_{reg_name}"] = agg(rows)
@@ -166,6 +173,7 @@ def main():
     rows = []
     for j in eval_utts[:3]:
         segs, f0 = plans[j]
+        gt = plan_f0_voiced(segs, f0)
         sr = manifest["sample_rate"]
         for si, spk in enumerate(novel):
             for t in (1, 4):
@@ -176,8 +184,10 @@ def main():
                     params8, cfg8, bank8, src, sr,
                     ConversionSettings(target_speaker=t), out_sample_rate=sr)
                 rows.append({"utt": j, "src": spk.name, "tgt": t,
-                             "converted": compare(conv, ref, sr),
-                             "do_nothing": compare(src, ref, sr)})
+                             "converted": compare(conv, ref, sr,
+                                                  f0_truth=gt),
+                             "do_nothing": compare(src, ref, sr,
+                                                   f0_truth=gt)})
                 print("novel_source", json.dumps(rows[-1]), flush=True)
     ood["unseen_source_novel_timbre"] = agg(rows)
 
@@ -189,6 +199,7 @@ def main():
         # conversion FROM unseen sources to trained targets
         rows = []
         for j in eval_utts[:3]:
+            gt = plan_f0_voiced(*plans[j])
             for s in args.held_out:
                 for t in trained[:2]:
                     src, sr = rendition(j, s)
@@ -198,8 +209,10 @@ def main():
                         ConversionSettings(target_speaker=t),
                         out_sample_rate=sr)
                     rows.append({"utt": j, "src": s, "tgt": t,
-                                 "converted": compare(conv, ref, sr),
-                                 "do_nothing": compare(src, ref, sr)})
+                                 "converted": compare(conv, ref, sr,
+                                                      f0_truth=gt),
+                                 "do_nothing": compare(src, ref, sr,
+                                                       f0_truth=gt)})
                     print("unseen_source", json.dumps(rows[-1]), flush=True)
         ood["unseen_source"] = agg(rows)
 
@@ -230,6 +243,7 @@ def main():
                   f"{np.round(wts, 2).tolist()} cal MCD {best[1]:.2f}",
                   flush=True)
             for j in eval_js:
+                gt = plan_f0_voiced(*plans[j])
                 for s in trained[:2]:
                     src, sr = rendition(j, s)
                     ref, _ = rendition(j, held)
@@ -240,8 +254,8 @@ def main():
                     rows.append({
                         "utt": j, "src": s, "tgt_held_out": held,
                         "morph_weights": np.round(wts, 3).tolist(),
-                        "converted": compare(conv, ref, sr),
-                        "do_nothing": compare(src, ref, sr)})
+                        "converted": compare(conv, ref, sr, f0_truth=gt),
+                        "do_nothing": compare(src, ref, sr, f0_truth=gt)})
                     print("morph_target", json.dumps(rows[-1]), flush=True)
         ood["morph_target_unseen"] = agg(rows)
         ood["model6"] = os.path.relpath(args.model6, REPO)

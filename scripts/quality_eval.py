@@ -56,7 +56,8 @@ def main():
     from beatrice_vst_tpu.runtime.offline import (ConversionSettings,
                                                   convert_utterance)
     from beatrice_vst_tpu.training.quality import compare
-    from beatrice_vst_tpu.training.synthesis import (default_speakers, render,
+    from beatrice_vst_tpu.training.synthesis import (default_speakers,
+                                                     plan_f0_voiced, render,
                                                      sample_utterance)
 
     with open(os.path.join(args.corpus, "manifest.json")) as f:
@@ -103,11 +104,16 @@ def main():
             segs, f0 = plans[j]
             floor = render(segs, f0, speakers[t],
                            np.random.default_rng(987650 + j * 131 + t), sr)
+            f0 = plan_f0_voiced(segs, f0)
+            # F0 rows score against the synthesis plan's known contour
+            # (r6): the two-sided tracked comparison charged every row
+            # for the REFERENCE rendition's own tracker error as well
+            # (>1000 cents on some low-register speakers)
             row = {
                 "utt": j, "src": s, "tgt": t,
-                "converted": compare(conv, ref, sr),
-                "do_nothing": compare(src, ref, sr),
-                "rerender_floor": compare(floor, ref, sr),
+                "converted": compare(conv, ref, sr, f0_truth=f0),
+                "do_nothing": compare(src, ref, sr, f0_truth=f0),
+                "rerender_floor": compare(floor, ref, sr, f0_truth=f0),
             }
             if args.soft_ab:
                 conv_soft = convert_utterance(
@@ -115,7 +121,8 @@ def main():
                     ConversionSettings(target_speaker=t, soft_pitch=True),
                     out_sample_rate=sr,
                 )
-                row["converted_soft"] = compare(conv_soft, ref, sr)
+                row["converted_soft"] = compare(conv_soft, ref, sr,
+                                                f0_truth=f0)
             rows.append(row)
             print(json.dumps(row), flush=True)
             if n_demo < args.demo_wavs:

@@ -50,6 +50,26 @@ def test_f0_tracker_recovers_known_contour():
     assert np.median(err) < 60.0  # half a semitone
 
 
+def test_plan_f0_voiced_gating_and_truth_metric():
+    """plan_f0_voiced zeros pauses/fricatives; a rendition scored against
+    its own gated plan (f0_rmse_cents_vs_truth) tracks tightly."""
+    from beatrice_vst_tpu.training.quality import f0_rmse_cents_vs_truth
+    from beatrice_vst_tpu.training.synthesis import plan_f0_voiced
+
+    segs, f0_true = _utt(3)
+    gt = plan_f0_voiced(segs, f0_true)
+    assert gt.shape[0] == sum(n for _, n in segs)
+    frac = float((gt > 0).mean())
+    assert 0.3 < frac < 0.95  # pauses exist and are gated out
+    np.testing.assert_array_equal(gt[gt > 0] > 50.0,
+                                  np.ones((gt > 0).sum(), bool))
+    spk = default_speakers(2)[0]
+    y = render(segs, f0_true, spk, np.random.default_rng(6))
+    rmse, agree = f0_rmse_cents_vs_truth(y, gt, SR)
+    assert rmse < 120.0, rmse
+    assert agree > 0.75, agree
+
+
 def test_pairs_layout_feeds_pair_dataset(tmp_path):
     import json
 

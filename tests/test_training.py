@@ -242,6 +242,26 @@ def test_pair_batcher_register_boost(tmp_path):
     assert high / total > 0.75, (high, total)
 
 
+def test_pair_dataset_prefers_plan_f0(tmp_path):
+    """With pairs/f0_plan.npz present, items carry the EXACT plan F0
+    instead of a tracked estimate (r6: tracker mistracks up to 1340
+    cents on low-register renditions were feeding pitch supervision)."""
+    from beatrice_vst_tpu.audio_io import write_wav
+    from beatrice_vst_tpu.training import PairDataset
+
+    d = tmp_path / "data" / "inputs"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    write_wav(str(d / "utt0.wav"),
+              rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+    plan = np.zeros(100, np.float32)
+    plan[10:90] = 123.0
+    np.savez(str(tmp_path / "data" / "f0_plan.npz"), utt0=plan)
+    ds = PairDataset(str(tmp_path / "data"))
+    f0 = ds.items[0][3]
+    np.testing.assert_array_equal(f0[:100], plan)
+
+
 def test_pair_dataset_with_targets_and_speakers(tmp_path):
     import json
 
