@@ -81,7 +81,9 @@ def main():
     # speech batches from the synthetic corpus (any speech would do)
     raw = os.path.join(args.corpus, "raw")
     clips = []
-    for spk in sorted(os.listdir(raw))[:4]:
+    spk_dirs = sorted(d for d in os.listdir(raw)
+                      if os.path.isdir(os.path.join(raw, d)))
+    for spk in spk_dirs[:4]:
         for fn in sorted(os.listdir(os.path.join(raw, spk)))[:12]:
             a, sr = read_wav(os.path.join(raw, spk, fn))
             clips.append(_to_rate(a, sr, 16000))
